@@ -1,0 +1,191 @@
+"""Differentiable rotated-box intersection / IoU in pure jnp.
+
+TPU-native replacement for mmcv's `box2corners` + `oriented_box_intersection_2d`
+(which relies on a CUDA `sort_vertices` kernel); consumed by the reference at
+unidet3d/rotated_iou_loss.py:14-60. Everything here is vectorised over leading
+batch dims, static-shaped, and differentiable (gradients flow through the
+gathered vertex coordinates exactly as in the CUDA sort-then-gather design).
+
+Algorithm (per pair of rotated BEV rectangles):
+  1. 24 candidate vertices of the intersection polygon: 16 edge-edge
+     intersection points + 4 corners of box1 inside box2 + 4 of box2 in box1.
+  2. Sort valid candidates by angle around the valid-centroid (argsort; invalid
+     candidates get +inf keys so they land at the tail).
+  3. Shoelace over the valid prefix with cyclic wrap -> polygon area.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.boxes import box_corners_bev
+
+_EPS = 1e-8
+
+
+def _cross2(o, a, b):
+    """2D cross product (a - o) x (b - o) on trailing dim 2."""
+    return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
+        a[..., 1] - o[..., 1]
+    ) * (b[..., 0] - o[..., 0])
+
+
+def _points_in_rotated_box(points: jnp.ndarray, boxes5: jnp.ndarray) -> jnp.ndarray:
+    """points (..., K, 2) inside boxes5 (..., 5) -> (..., K) bool (<= boundary)."""
+    rel = points - boxes5[..., None, :2]
+    c = jnp.cos(boxes5[..., 4])[..., None]
+    s = jnp.sin(boxes5[..., 4])[..., None]
+    # Rotate into box frame (inverse rotation).
+    local_x = rel[..., 0] * c + rel[..., 1] * s
+    local_y = -rel[..., 0] * s + rel[..., 1] * c
+    tol = 1e-6
+    inside_x = jnp.abs(local_x) <= boxes5[..., None, 2] / 2 + tol
+    inside_y = jnp.abs(local_y) <= boxes5[..., None, 3] / 2 + tol
+    return inside_x & inside_y
+
+
+def _edge_intersections(c1: jnp.ndarray, c2: jnp.ndarray):
+    """All 16 intersection points between edges of two quads.
+
+    Args:
+        c1, c2: (..., 4, 2) corner arrays (cyclic edge i: corner i -> i+1).
+
+    Returns:
+        points (..., 16, 2), valid (..., 16) bool.
+    """
+    p1 = c1  # (..., 4, 2)
+    p2 = jnp.roll(c1, -1, axis=-2)
+    q1 = c2
+    q2 = jnp.roll(c2, -1, axis=-2)
+
+    # Broadcast to (..., 4, 4, 2): edge i of box1 x edge j of box2.
+    p1b = p1[..., :, None, :]
+    p2b = p2[..., :, None, :]
+    q1b = q1[..., None, :, :]
+    q2b = q2[..., None, :, :]
+
+    d1 = p2b - p1b
+    d2 = q2b - q1b
+    denom = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]
+    dq = q1b - p1b
+    t_num = dq[..., 0] * d2[..., 1] - dq[..., 1] * d2[..., 0]
+    u_num = dq[..., 0] * d1[..., 1] - dq[..., 1] * d1[..., 0]
+    safe = jnp.where(jnp.abs(denom) < _EPS, 1.0, denom)
+    t = t_num / safe
+    u = u_num / safe
+    valid = (
+        (jnp.abs(denom) >= _EPS) & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+    )
+    pts = p1b + t[..., None] * d1
+    shape = pts.shape[:-3] + (16, 2)
+    return pts.reshape(shape), valid.reshape(shape[:-1])
+
+
+def rotated_intersection_area_2d(
+    boxes5_a: jnp.ndarray, boxes5_b: jnp.ndarray
+) -> jnp.ndarray:
+    """Intersection area of rotated rectangles, elementwise over leading dims.
+
+    Args:
+        boxes5_a, boxes5_b: (..., 5) = (x, y, w, h, alpha).
+
+    Returns:
+        (...,) intersection areas.
+    """
+    c1 = box_corners_bev(boxes5_a)  # (..., 4, 2)
+    c2 = box_corners_bev(boxes5_b)
+
+    inter_pts, inter_valid = _edge_intersections(c1, c2)
+    in12 = _points_in_rotated_box(c1, boxes5_b)  # (..., 4)
+    in21 = _points_in_rotated_box(c2, boxes5_a)
+
+    vertices = jnp.concatenate([inter_pts, c1, c2], axis=-2)  # (..., 24, 2)
+    valid = jnp.concatenate([inter_valid, in12, in21], axis=-1)  # (..., 24)
+
+    num_valid = jnp.sum(valid, axis=-1)  # (...,)
+    validf = valid[..., None].astype(vertices.dtype)
+    center = jnp.sum(vertices * validf, axis=-2) / jnp.maximum(
+        num_valid[..., None].astype(vertices.dtype), 1.0
+    )
+
+    rel = (vertices - center[..., None, :]) * validf
+    angles = jnp.arctan2(rel[..., 1], rel[..., 0])
+    angles = jnp.where(valid, angles, jnp.inf)  # invalid -> tail
+    order = jnp.argsort(angles, axis=-1)
+    rel_sorted = jnp.take_along_axis(rel, order[..., None], axis=-2)
+
+    # Cyclic next index within the valid prefix [0, k).
+    idx = jnp.arange(24)
+    k = num_valid[..., None]
+    nxt = jnp.where(idx + 1 >= k, 0, idx + 1)
+    rel_next = jnp.take_along_axis(rel_sorted, nxt[..., None], axis=-2)
+
+    cross = (
+        rel_sorted[..., 0] * rel_next[..., 1] - rel_sorted[..., 1] * rel_next[..., 0]
+    )
+    cross = jnp.where(idx < k, cross, 0.0)
+    area = 0.5 * jnp.abs(jnp.sum(cross, axis=-1))
+    # Fewer than 3 vertices -> no polygon.
+    return jnp.where(num_valid >= 3, area, 0.0)
+
+
+def diff_diou_rotated_3d(box3d1: jnp.ndarray, box3d2: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable DIoU of rotated 3D boxes, elementwise on leading dims.
+
+    Mirror of reference unidet3d/rotated_iou_loss.py:14-60.
+
+    Args:
+        box3d1, box3d2: (..., 7) = (x, y, z, w, h, l, alpha); center = gravity.
+
+    Returns:
+        (...,) DIoU values (IoU − center-distance²/diagonal²).
+    """
+    b1 = box3d1[..., jnp.array([0, 1, 3, 4, 6])]
+    b2 = box3d2[..., jnp.array([0, 1, 3, 4, 6])]
+    intersection = rotated_intersection_area_2d(b1, b2)
+
+    zmax1 = box3d1[..., 2] + box3d1[..., 5] * 0.5
+    zmin1 = box3d1[..., 2] - box3d1[..., 5] * 0.5
+    zmax2 = box3d2[..., 2] + box3d2[..., 5] * 0.5
+    zmin2 = box3d2[..., 2] - box3d2[..., 5] * 0.5
+    z_overlap = jnp.clip(jnp.minimum(zmax1, zmax2) - jnp.maximum(zmin1, zmin2), 0.0)
+    intersection_3d = intersection * z_overlap
+    volume1 = box3d1[..., 3] * box3d1[..., 4] * box3d1[..., 5]
+    volume2 = box3d2[..., 3] * box3d2[..., 4] * box3d2[..., 5]
+    union_3d = volume1 + volume2 - intersection_3d
+
+    c1 = box_corners_bev(b1)
+    c2 = box_corners_bev(b2)
+    x_max = jnp.maximum(jnp.max(c1[..., 0], -1), jnp.max(c2[..., 0], -1))
+    x_min = jnp.minimum(jnp.min(c1[..., 0], -1), jnp.min(c2[..., 0], -1))
+    y_max = jnp.maximum(jnp.max(c1[..., 1], -1), jnp.max(c2[..., 1], -1))
+    y_min = jnp.minimum(jnp.min(c1[..., 1], -1), jnp.min(c2[..., 1], -1))
+    z_max = jnp.maximum(zmax1, zmax2)
+    z_min = jnp.minimum(zmin1, zmin2)
+
+    # NOTE: b1[..., :3] of the 5-dim BEV box is (x, y, w) — NOT (x, y, z).
+    # This reproduces the reference/mmcv behaviour exactly
+    # (unidet3d/rotated_iou_loss.py:57 uses box1[..., :3] of the BEV box);
+    # kept for checkpoint-level training parity.
+    r2 = jnp.sum((b1[..., :3] - b2[..., :3]) ** 2, axis=-1)
+    c2_diag = (x_min - x_max) ** 2 + (y_min - y_max) ** 2 + (z_min - z_max) ** 2
+
+    return intersection_3d / jnp.maximum(union_3d, _EPS) - r2 / jnp.maximum(
+        c2_diag, _EPS
+    )
+
+
+def rotated_iou_3d(box3d1: jnp.ndarray, box3d2: jnp.ndarray) -> jnp.ndarray:
+    """Plain rotated 3D IoU, elementwise on leading dims (for eval overlaps)."""
+    b1 = box3d1[..., jnp.array([0, 1, 3, 4, 6])]
+    b2 = box3d2[..., jnp.array([0, 1, 3, 4, 6])]
+    intersection = rotated_intersection_area_2d(b1, b2)
+    zmax1 = box3d1[..., 2] + box3d1[..., 5] * 0.5
+    zmin1 = box3d1[..., 2] - box3d1[..., 5] * 0.5
+    zmax2 = box3d2[..., 2] + box3d2[..., 5] * 0.5
+    zmin2 = box3d2[..., 2] - box3d2[..., 5] * 0.5
+    z_overlap = jnp.clip(jnp.minimum(zmax1, zmax2) - jnp.maximum(zmin1, zmin2), 0.0)
+    intersection_3d = intersection * z_overlap
+    volume1 = box3d1[..., 3] * box3d1[..., 4] * box3d1[..., 5]
+    volume2 = box3d2[..., 3] * box3d2[..., 4] * box3d2[..., 5]
+    union_3d = volume1 + volume2 - intersection_3d
+    return intersection_3d / jnp.maximum(union_3d, _EPS)
