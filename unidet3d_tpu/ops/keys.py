@@ -1,0 +1,89 @@
+"""Coordinate-key packing and lexicographic binary search (pure jnp, int32).
+
+TPU-native foundation for the sparse-voxel engine: instead of MinkowskiEngine /
+spconv hash tables (reference Dockerfile:7-11,51), voxel sets are kept sorted
+by a 2x int32 lexicographic key and all neighbor lookups are vectorised binary
+searches. This avoids int64 entirely (JAX default x64-off) and maps to plain
+gathers/compares that XLA vectorises well.
+
+Key layout: k1 = (batch << COORD_BITS) | x, k2 = (y << COORD_BITS) | z with
+COORD_BITS=12 => coords in [0, 4096) (82 m at 2 cm voxels — ample for indoor
+scenes) and batch < 2^19.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+COORD_BITS = 12
+MAX_COORD = (1 << COORD_BITS) - 1  # 4095
+INVALID_KEY = jnp.iinfo(jnp.int32).max
+
+
+def pack_keys(bxyz: jnp.ndarray, valid: jnp.ndarray | None = None):
+    """Pack (N, 4) int32 (batch, x, y, z) into two int32 sort keys.
+
+    Coordinates are assumed already clipped to [0, MAX_COORD]. Invalid rows get
+    INVALID_KEY so they sort to the tail.
+    """
+    b, x, y, z = bxyz[:, 0], bxyz[:, 1], bxyz[:, 2], bxyz[:, 3]
+    k1 = (b << COORD_BITS) | x
+    k2 = (y << COORD_BITS) | z
+    if valid is not None:
+        k1 = jnp.where(valid, k1, INVALID_KEY)
+        k2 = jnp.where(valid, k2, INVALID_KEY)
+    return k1, k2
+
+
+def unpack_keys(k1: jnp.ndarray, k2: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack_keys -> (N, 4) int32 (batch, x, y, z)."""
+    b = k1 >> COORD_BITS
+    x = k1 & MAX_COORD
+    y = k2 >> COORD_BITS
+    z = k2 & MAX_COORD
+    return jnp.stack([b, x, y, z], axis=-1)
+
+
+def searchsorted_pair(
+    k1_sorted: jnp.ndarray,
+    k2_sorted: jnp.ndarray,
+    q1: jnp.ndarray,
+    q2: jnp.ndarray,
+) -> jnp.ndarray:
+    """Vectorised lower-bound binary search on lexicographic (k1, k2) pairs.
+
+    Args:
+        k1_sorted, k2_sorted: (V,) table keys sorted lexicographically.
+        q1, q2: query keys of any (identical) shape.
+
+    Returns:
+        Indices of the leftmost table position whose key >= query (shape of q1,
+        values in [0, V]).
+    """
+    n = k1_sorted.shape[0]
+    steps = max(1, int(jnp.ceil(jnp.log2(max(n, 2)))) + 1)
+    lo = jnp.zeros_like(q1)
+    hi = jnp.full_like(q1, n)
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        midc = jnp.minimum(mid, n - 1)
+        a = k1_sorted[midc]
+        b = k2_sorted[midc]
+        less = (a < q1) | ((a == q1) & (b < q2))
+        less = less & (mid < n)
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    return lo
+
+
+def lookup_pair(
+    k1_sorted: jnp.ndarray,
+    k2_sorted: jnp.ndarray,
+    q1: jnp.ndarray,
+    q2: jnp.ndarray,
+):
+    """Exact-match lookup. Returns (index, found) with index in [0, V]."""
+    n = k1_sorted.shape[0]
+    idx = searchsorted_pair(k1_sorted, k2_sorted, q1, q2)
+    idxc = jnp.minimum(idx, n - 1)
+    found = (idx < n) & (k1_sorted[idxc] == q1) & (k2_sorted[idxc] == q2)
+    return idx, found

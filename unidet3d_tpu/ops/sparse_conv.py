@@ -1,0 +1,177 @@
+"""Sparse convolution engine: rulebooks + gather-matmul-scatter convs.
+
+TPU-native replacement for spconv's SubMConv3d / SparseConv3d /
+SparseInverseConv3d (reference unidet3d/spconv_unet.py, unidet3d.py:96-111).
+Design (idiomatic XLA, all static shapes — see SURVEY.md §7 "hard parts" #1):
+
+  * Submanifold k=3 conv: the voxel set is sorted by packed (batch,x,y,z)
+    keys, so each of the 27 neighbor offsets is resolved with one vectorised
+    binary search -> a dense neighbor table (V, 27) ("rulebook"). The conv is
+    then 27 x [gather (V,Cin) + matmul (Cin,Cout)] accumulated in fp32 on the
+    MXU. The table is built ONCE per level per batch and shared by every subm
+    conv at that level (spconv `indice_key` reuse semantics,
+    spconv_unet.py:138,200).
+
+  * Strided k=2 s=2 downsample: every input voxel belongs to exactly ONE
+    output voxel (its coords//2) at one of 8 kernel offsets, so the rulebook
+    is just the voxelizer's inverse mapping + a 3-bit offset code. Conv =
+    8 masked matmuls + segment-sum. No neighbor search at all.
+
+  * Inverse k=2 upsample (indice_key reuse): the transpose of the downsample
+    rulebook — one gather from the parent voxel + 8 masked matmuls.
+
+Weight layouts: (27, Cin, Cout) with offset order (dx,dy,dz), dx-major, each
+in (-1,0,1); (8, Cin, Cout) with offset order code ox*4+oy*2+oz from the
+voxel's low coordinate bits.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .keys import pack_keys, lookup_pair
+from .segment import segment_sum
+from .voxelize import VoxelGrid, voxelize
+
+SUBM_OFFSETS = [
+    (dx, dy, dz)
+    for dx in (-1, 0, 1)
+    for dy in (-1, 0, 1)
+    for dz in (-1, 0, 1)
+]
+
+
+def build_subm_neighbors(grid: VoxelGrid) -> jnp.ndarray:
+    """Neighbor table (V, 27) for submanifold 3x3x3 conv on a sorted grid.
+
+    Entry [i, o] is the voxel row of neighbor i+offset_o, or `capacity`
+    (sentinel) when absent/invalid. Built with 27 vectorised binary searches.
+    """
+    cap = grid.capacity
+    coords = grid.coords  # (V, 4)
+    nbrs = []
+    for off in SUBM_OFFSETS:
+        if off == (0, 0, 0):
+            self_idx = jnp.arange(cap, dtype=jnp.int32)
+            nbrs.append(jnp.where(grid.valid, self_idx, cap))
+            continue
+        q = coords + jnp.array([0, *off], dtype=jnp.int32)
+        in_range = jnp.all((q[:, 1:] >= 0) & (q[:, 1:] <= 4095), axis=-1)
+        ok = grid.valid & in_range
+        q1, q2 = pack_keys(jnp.clip(q, 0), ok)
+        idx, found = lookup_pair(grid.key1, grid.key2, q1, q2)
+        nbrs.append(jnp.where(found & ok, idx.astype(jnp.int32), cap))
+    return jnp.stack(nbrs, axis=1)
+
+
+def subm_conv(
+    features: jnp.ndarray, neighbors: jnp.ndarray, weights: jnp.ndarray
+) -> jnp.ndarray:
+    """Submanifold conv: out[i] = sum_o feat[nbr[i,o]] @ W[o].
+
+    Args:
+        features: (V, Cin).
+        neighbors: (V, K) int32 table from build_subm_neighbors.
+        weights: (K, Cin, Cout).
+
+    Returns:
+        (V, Cout) fp32.
+    """
+    k = weights.shape[0]
+
+    def body(acc, o):
+        g = features.at[neighbors[:, o]].get(mode="fill", fill_value=0.0)
+        acc = acc + jnp.dot(g, weights[o], preferred_element_type=jnp.float32)
+        return acc, None
+
+    init = jnp.zeros(
+        (features.shape[0], weights.shape[-1]), dtype=jnp.float32
+    )
+    out, _ = jax.lax.scan(body, init, jnp.arange(k))
+    return out
+
+
+class DownsampleMap(NamedTuple):
+    """Rulebook linking a fine grid to its 2x-downsampled parent grid.
+
+    Attributes:
+        grid: the coarse VoxelGrid (sorted, capacity V_out).
+        parent: (V_in,) int32 fine-voxel -> coarse-voxel row (capacity_out
+            sentinel for invalid rows).
+        offset_code: (V_in,) int32 in [0, 8): ox*4 + oy*2 + oz from the low
+            bits of the fine coords.
+    """
+
+    grid: VoxelGrid
+    parent: jnp.ndarray
+    offset_code: jnp.ndarray
+
+
+def build_downsample_map(grid: VoxelGrid, out_capacity: int) -> DownsampleMap:
+    """Build the coarse grid + rulebook for a k=2 s=2 strided conv."""
+    coords = grid.coords
+    coarse = jnp.concatenate([coords[:, :1], coords[:, 1:] >> 1], axis=-1)
+    out_grid, _ = voxelize(coarse, grid.valid, out_capacity)
+    low = coords[:, 1:] & 1
+    offset_code = low[:, 0] * 4 + low[:, 1] * 2 + low[:, 2]
+    return DownsampleMap(
+        grid=out_grid, parent=out_grid.inverse, offset_code=offset_code
+    )
+
+
+def strided_conv(
+    features: jnp.ndarray, ds: DownsampleMap, weights: jnp.ndarray
+) -> jnp.ndarray:
+    """k=2 s=2 downsampling conv: out[p] = sum_{i: parent(i)=p} feat[i] @ W[o_i].
+
+    Args:
+        features: (V_in, Cin) fine-level features.
+        ds: rulebook from build_downsample_map.
+        weights: (8, Cin, Cout).
+
+    Returns:
+        (V_out, Cout) coarse-level features.
+    """
+    out_capacity = ds.grid.capacity
+    contrib = jnp.zeros(
+        (features.shape[0], weights.shape[-1]), dtype=jnp.float32
+    )
+    for o in range(8):
+        sel = (ds.offset_code == o)[:, None]
+        contrib = contrib + jnp.dot(
+            jnp.where(sel, features, 0.0),
+            weights[o],
+            preferred_element_type=jnp.float32,
+        )
+    return segment_sum(contrib, ds.parent, out_capacity)
+
+
+def inverse_conv(
+    features: jnp.ndarray, ds: DownsampleMap, weights: jnp.ndarray
+) -> jnp.ndarray:
+    """k=2 inverse (upsampling) conv reusing the downsample rulebook.
+
+    out[i] = feat_coarse[parent(i)] @ W[o_i] — the transpose pair structure of
+    spconv's SparseInverseConv3d with a shared indice_key
+    (spconv_unet.py:175-192).
+
+    Args:
+        features: (V_out, Cin) coarse-level features.
+        ds: rulebook from build_downsample_map (same one the strided conv used).
+        weights: (8, Cin, Cout).
+
+    Returns:
+        (V_in, Cout) fine-level features.
+    """
+    g = features.at[ds.parent].get(mode="fill", fill_value=0.0)  # (V_in, Cin)
+    out = jnp.zeros((g.shape[0], weights.shape[-1]), dtype=jnp.float32)
+    for o in range(8):
+        sel = (ds.offset_code == o)[:, None]
+        out = out + jnp.dot(
+            jnp.where(sel, g, 0.0),
+            weights[o],
+            preferred_element_type=jnp.float32,
+        )
+    return out
