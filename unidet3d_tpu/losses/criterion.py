@@ -1,0 +1,193 @@
+"""Top-k cost matcher + multi-dataset detection criterion (vectorised).
+
+TPU-native re-design of the reference criterion/matcher
+(unidet3d/criterion.py:7-178 and the `UniMatcher` at :273-320 — NOT Hungarian:
+per-GT top-k lowest-cost queries gated by superpoint containment masks).
+Everything operates on padded static shapes: Q query slots, G GT slots, with
+validity masks; per-scene dynamic top-k is realised as a static top-(MAXK+1)
+sort plus a dynamic threshold (the reference's strict `cost < kth_value`
+semantics, criterion.py:316-320, ties dropped identically).
+
+Costs (config:76-89): 0.5 * (-softmax class score) + 2.0 * DIoU loss, masked
+to queries whose superpoint lies inside the GT (`query_masks`), INF = 1e8.
+
+Per-layer loss (criterion.py:44-143): weighted CE over padded unified-class
+columns (no_obj weight 0.1, torch weighted-mean semantics) + DIoU box loss
+averaged over matched pairs, scene-averaged with per-dataset weights; summed
+over all 7 decoder output sets with per-layer re-matching (iter_matcher).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.boxes import boxes_to_corner_format
+from .iou_losses import axis_aligned_diou_loss, rotated_diou_3d_loss
+
+INF = 1e8
+MAXK = 6  # max per-dataset topk (config:92)
+
+
+class SceneGT(NamedTuple):
+    """Padded per-scene ground truth (leading batch dim when batched)."""
+
+    labels: jnp.ndarray  # (G,) int32 in [0, NC)
+    boxes: jnp.ndarray  # (G, 7) gravity-center, yaw=0 when axis-aligned
+    valid: jnp.ndarray  # (G,) bool
+    query_masks: jnp.ndarray  # (G, Q) bool: query may match this GT
+
+
+def _pairwise_bbox_cost(boxes_q, boxes_g, rotated):
+    """(Q, 7) x (G, 7) -> (Q, G) DIoU loss, both aa/rotated branches blended
+    by the per-scene `rotated` flag."""
+    bq = boxes_q[:, None, :]
+    bg = boxes_g[None, :, :]
+    q, g = boxes_q.shape[0], boxes_g.shape[0]
+    bq6 = boxes_to_corner_format(jnp.broadcast_to(bq[..., :6], (q, g, 6)))
+    bg6 = boxes_to_corner_format(jnp.broadcast_to(bg[..., :6], (q, g, 6)))
+    aa = axis_aligned_diou_loss(bq6, bg6)
+    rot = rotated_diou_3d_loss(
+        jnp.broadcast_to(bq, (q, g, 7)), jnp.broadcast_to(bg, (q, g, 7))
+    )
+    return jnp.where(rotated, rot, aa)
+
+
+def _elementwise_bbox_loss(pred, tgt, rotated):
+    """(..., 7) one-to-one DIoU loss, aa/rotated by scene flag."""
+    aa = axis_aligned_diou_loss(
+        boxes_to_corner_format(pred[..., :6]),
+        boxes_to_corner_format(tgt[..., :6]),
+    )
+    rot = rotated_diou_3d_loss(pred, tgt)
+    return jnp.where(rotated, rot, aa)
+
+
+class MatchResult(NamedTuple):
+    pair_q: jnp.ndarray  # (G, MAXK) int32 query index per match slot
+    pair_valid: jnp.ndarray  # (G, MAXK) bool
+    cls_target: jnp.ndarray  # (Q,) int32 target column (no_obj = nc_max)
+    has_match: jnp.ndarray  # (Q,) bool
+
+
+def match_scene(
+    cls_logits: jnp.ndarray,  # (Q, NC+1), padded cols = -inf
+    boxes: jnp.ndarray,  # (Q, 7)
+    query_valid: jnp.ndarray,  # (Q,)
+    gt: SceneGT,
+    rotated: jnp.ndarray,  # () bool
+    topk: jnp.ndarray,  # () int32
+    cls_weight: float = 0.5,
+    bbox_weight: float = 2.0,
+) -> MatchResult:
+    """Reference UniMatcher (criterion.py:287-320) on padded tensors."""
+    q_cap = cls_logits.shape[0]
+    g_cap = gt.labels.shape[0]
+    nc_max = cls_logits.shape[1] - 1
+
+    scores = jax.nn.softmax(cls_logits, axis=-1)  # (Q, NC+1)
+    cls_cost = -scores[:, jnp.clip(gt.labels, 0, nc_max)]  # (Q, G)
+    bbox_cost = _pairwise_bbox_cost(boxes, gt.boxes, rotated)
+    cost = cls_weight * cls_cost + bbox_weight * bbox_cost
+    cost = jax.lax.stop_gradient(cost)
+
+    allowed = (
+        gt.query_masks.T & query_valid[:, None] & gt.valid[None, :]
+    )  # (Q, G)
+    cost = jnp.where(allowed, cost, INF)
+
+    # Per-GT ascending top-(MAXK+1) costs.
+    neg_vals, idx = jax.lax.top_k(-cost.T, MAXK + 1)  # (G, MAXK+1)
+    sorted_costs = -neg_vals
+    thresh = jnp.take_along_axis(
+        sorted_costs, jnp.broadcast_to(topk, (g_cap, 1)), axis=1
+    )[:, 0]
+    pair_q = idx[:, :MAXK]
+    pair_cost = sorted_costs[:, :MAXK]
+    pair_valid = (
+        (pair_cost < thresh[:, None]) & (pair_cost < INF) & gt.valid[:, None]
+    )
+
+    # cls target: last (highest-g) matched GT wins, mirroring the row-major
+    # argwhere + sequential assignment at reference criterion.py:101.
+    matched = (
+        jnp.zeros((q_cap, g_cap), bool)
+        .at[pair_q, jnp.arange(g_cap)[:, None]]
+        .max(pair_valid)
+    )
+    has_match = jnp.any(matched, axis=1)
+    g_last = g_cap - 1 - jnp.argmax(matched[:, ::-1], axis=1)
+    cls_target = jnp.where(
+        has_match, gt.labels[jnp.clip(g_last, 0)], nc_max
+    ).astype(jnp.int32)
+    return MatchResult(pair_q, pair_valid, cls_target, has_match)
+
+
+def layer_loss_scene(
+    cls_logits: jnp.ndarray,
+    boxes: jnp.ndarray,
+    query_valid: jnp.ndarray,
+    gt: SceneGT,
+    rotated: jnp.ndarray,
+    topk: jnp.ndarray,
+    non_object_weight: float,
+):
+    """One decoder layer, one scene -> (cls_loss, bbox_loss_sum, n_pairs)."""
+    nc_max = cls_logits.shape[1] - 1
+    m = match_scene(cls_logits, boxes, query_valid, gt, rotated, topk)
+
+    # Weighted cross entropy, torch weighted-mean semantics
+    # (criterion.py:106-108): sum(w_i * nll_i) / sum(w_i), padded queries out.
+    logp = jax.nn.log_softmax(cls_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, m.cls_target[:, None], axis=-1)[:, 0]
+    w = jnp.where(m.cls_target == nc_max, non_object_weight, 1.0)
+    w = jnp.where(query_valid, w, 0.0)
+    cls_loss = jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-8)
+
+    # Box loss over matched pairs.
+    pred = boxes[m.pair_q.reshape(-1)]  # (G*MAXK, 7)
+    tgt = jnp.repeat(gt.boxes, MAXK, axis=0)
+    pl = _elementwise_bbox_loss(pred, tgt, rotated)
+    pv = m.pair_valid.reshape(-1)
+    bbox_sum = jnp.sum(jnp.where(pv, pl, 0.0))
+    n_pairs = jnp.sum(pv)
+    return cls_loss, bbox_sum, n_pairs
+
+
+def criterion(
+    cls_logits: jnp.ndarray,  # (L, B, Q, NC+1)
+    boxes: jnp.ndarray,  # (L, B, Q, 7)
+    query_valid: jnp.ndarray,  # (B, Q)
+    gt: SceneGT,  # batched: (B, G, ...) leaves
+    rotated: jnp.ndarray,  # (B,)
+    topk: jnp.ndarray,  # (B,)
+    dataset_weights: jnp.ndarray,  # (B,)
+    loss_weight=(0.5, 1.0),
+    non_object_weight: float = 0.1,
+) -> jnp.ndarray:
+    """Total detection loss over all decoder layers (criterion.py:145-178)."""
+    num_layers = cls_logits.shape[0]
+    per_scene = jax.vmap(layer_loss_scene, in_axes=(0, 0, 0, 0, 0, 0, None))
+
+    total = 0.0
+    for layer in range(num_layers):
+        cls_l, bbox_sum, n_pairs = per_scene(
+            cls_logits[layer],
+            boxes[layer],
+            query_valid,
+            gt,
+            rotated,
+            topk,
+            non_object_weight,
+        )
+        cls_loss = jnp.mean(dataset_weights * cls_l)
+        # Scene-mean over scenes that have matched pairs (reference skips
+        # scenes with no gts/matches, criterion.py:114).
+        has_pairs = n_pairs > 0
+        scene_bbox = dataset_weights * bbox_sum / jnp.maximum(n_pairs, 1)
+        bbox_loss = jnp.sum(jnp.where(has_pairs, scene_bbox, 0.0)) / jnp.maximum(
+            jnp.sum(has_pairs), 1
+        )
+        total = total + loss_weight[0] * cls_loss + loss_weight[1] * bbox_loss
+    return total

@@ -1,0 +1,186 @@
+"""Superpoint transformer decoder with unified multi-dataset heads.
+
+TPU-native re-design of the reference decoder (unidet3d/encoder.py:113-283,
+confusingly named "UniDet3DEncoder"): instead of looping scenes through
+nn.MultiheadAttention one at a time (encoder.py:36-40), queries are batched
+(B, Q, d) with key-padding masks — one fused attention per layer across the
+whole batch. Heads run after the input projection and after every layer
+(7 output sets; last = main, first 6 = aux, encoder.py:217-239).
+
+Per-dataset classification uses the padded gather table from
+core/class_table.py; box decode produces BOTH the axis-aligned and rotated
+forms and selects per scene by the dataset's `angles` flag (config:62).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+NEG_INF = -1e9
+
+
+class DecoderOutput(NamedTuple):
+    """Stacked per-layer outputs. L = num_layers + 1 (proj head + each layer).
+
+    cls_logits: (L, B, Q, NC_MAX + 1) — per-dataset gathered logits, padded
+        class columns = NEG_INF, no_obj at column NC_MAX.
+    boxes: (L, B, Q, 7) — decoded boxes (yaw = 0 for axis-aligned scenes).
+    """
+
+    cls_logits: jnp.ndarray
+    boxes: jnp.ndarray
+
+
+class SelfAttentionLayer(nn.Module):
+    """Post-norm MHSA block (reference encoder.py:8-41)."""
+
+    d_model: int
+    num_heads: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, key_mask, train: bool):
+        # key_mask (B, Q) -> attention mask (B, 1, Q, Q) over keys.
+        attn_mask = key_mask[:, None, None, :]
+        z = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=self.d_model,
+            out_features=self.d_model,
+            dropout_rate=self.dropout,
+            deterministic=not train or self.dropout == 0.0,
+            name="attn",
+        )(x, x, mask=attn_mask)
+        if self.dropout > 0.0:
+            z = nn.Dropout(self.dropout, deterministic=not train)(z)
+        return nn.LayerNorm(name="norm")(z + x)
+
+
+class FFN(nn.Module):
+    """Post-norm feed-forward block (reference encoder.py:43-80)."""
+
+    d_model: int
+    hidden_dim: int
+    dropout: float
+    activation: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        act = nn.gelu if self.activation == "gelu" else nn.relu
+        z = nn.Dense(self.hidden_dim, name="fc1")(x)
+        z = act(z)
+        if self.dropout > 0.0:
+            z = nn.Dropout(self.dropout, deterministic=not train)(z)
+        z = nn.Dense(self.d_model, name="fc2")(z)
+        if self.dropout > 0.0:
+            z = nn.Dropout(self.dropout, deterministic=not train)(z)
+        return nn.LayerNorm(name="norm")(z + x)
+
+
+def decode_boxes(
+    sp_centers: jnp.ndarray, bbox_pred: jnp.ndarray, rotated: jnp.ndarray
+) -> jnp.ndarray:
+    """Batched FCAF3D-style decode (reference encoder.py:241-283).
+
+    Args:
+        sp_centers: (B, Q, 3).
+        bbox_pred: (B, Q, 8), first 6 already exp-ed face distances.
+        rotated: (B,) bool — per-scene angle flag.
+
+    Returns:
+        (B, Q, 7) boxes; yaw = 0 where not rotated.
+    """
+    x_c = sp_centers[..., 0] + (bbox_pred[..., 1] - bbox_pred[..., 0]) / 2
+    y_c = sp_centers[..., 1] + (bbox_pred[..., 3] - bbox_pred[..., 2]) / 2
+    z_c = sp_centers[..., 2] + (bbox_pred[..., 5] - bbox_pred[..., 4]) / 2
+    dx = bbox_pred[..., 0] + bbox_pred[..., 1]
+    dy = bbox_pred[..., 2] + bbox_pred[..., 3]
+    dz = bbox_pred[..., 4] + bbox_pred[..., 5]
+
+    scale = dx + dy
+    q = jnp.exp(jnp.sqrt(bbox_pred[..., 6] ** 2 + bbox_pred[..., 7] ** 2))
+    alpha = 0.5 * jnp.arctan2(bbox_pred[..., 6], bbox_pred[..., 7])
+
+    r = rotated[:, None]
+    w = jnp.where(r, scale / (1 + q), dx)
+    l = jnp.where(r, scale / (1 + q) * q, dy)
+    yaw = jnp.where(r, alpha, 0.0)
+    return jnp.stack([x_c, y_c, z_c, w, l, dz, yaw], axis=-1)
+
+
+class UniDecoder(nn.Module):
+    """Input proj + N x (MHSA + FFN) + per-layer cls/box heads."""
+
+    num_layers: int
+    d_model: int
+    num_heads: int
+    hidden_dim: int
+    dropout: float
+    activation: str
+    cls_gather: np.ndarray  # (D, NC_MAX + 1) int32, -1 padding
+    angles: tuple  # (D,) python bools
+
+    @nn.compact
+    def __call__(
+        self,
+        queries: jnp.ndarray,  # (B, Q, C_in)
+        query_mask: jnp.ndarray,  # (B, Q) bool
+        sp_centers: jnp.ndarray,  # (B, Q, 3)
+        dataset_ids: jnp.ndarray,  # (B,) int32
+        train: bool,
+    ) -> DecoderOutput:
+        num_unified = int(self.cls_gather.max()) + 1
+
+        gather_t = jnp.asarray(self.cls_gather)  # (D, NCmax+1)
+        angles_t = jnp.asarray(np.asarray(self.angles, dtype=bool))
+        scene_gather = gather_t[dataset_ids]  # (B, NCmax+1)
+        scene_valid = scene_gather >= 0
+        rotated = angles_t[dataset_ids]  # (B,)
+
+        out_norm = nn.LayerNorm(name="out_norm")
+        cls_fc1 = nn.Dense(self.d_model, name="cls_fc1")
+        cls_fc2 = nn.Dense(num_unified, name="cls_fc2")
+        box_fc = nn.Dense(8, name="box_fc")
+
+        def head(feats):
+            h = out_norm(feats)
+            cls_all = cls_fc2(nn.relu(cls_fc1(h)))  # (B, Q, U+1)
+            idx = jnp.clip(scene_gather, 0)[:, None, :]  # (B, 1, NCmax+1)
+            idx = jnp.broadcast_to(
+                idx, (cls_all.shape[0], cls_all.shape[1], idx.shape[-1])
+            )
+            cls_sel = jnp.take_along_axis(cls_all, idx, axis=-1)
+            cls_sel = jnp.where(scene_valid[:, None, :], cls_sel, NEG_INF)
+            bp = box_fc(h)  # (B, Q, 8)
+            bp = jnp.concatenate([jnp.exp(bp[..., :6]), bp[..., 6:]], axis=-1)
+            boxes = decode_boxes(sp_centers, bp, rotated)
+            return cls_sel, boxes
+
+        x = nn.Dense(self.d_model, name="proj_fc1")(queries)
+        x = nn.relu(x)
+        x = nn.Dense(self.d_model, name="proj_fc2")(x)
+
+        cls_list, box_list = [], []
+        c, b = head(x)
+        cls_list.append(c)
+        box_list.append(b)
+        for i in range(self.num_layers):
+            x = SelfAttentionLayer(
+                self.d_model, self.num_heads, self.dropout, name=f"attn{i}"
+            )(x, query_mask, train)
+            x = FFN(
+                self.d_model,
+                self.hidden_dim,
+                self.dropout,
+                self.activation,
+                name=f"ffn{i}",
+            )(x, train)
+            c, b = head(x)
+            cls_list.append(c)
+            box_list.append(b)
+
+        return DecoderOutput(
+            cls_logits=jnp.stack(cls_list), boxes=jnp.stack(box_list)
+        )

@@ -1,0 +1,172 @@
+"""Sparse-convolutional 3D U-Net backbone (TPU-native SpConvUNet).
+
+Functional re-design of the reference backbone (unidet3d/spconv_unet.py:94-240
+plus the detector's input conv / output BN-ReLU, unidet3d/unidet3d.py:95-111):
+a 5-level residual U-Net over a sorted sparse voxel pyramid. All convs are
+gather-matmul rulebook convs from ops/sparse_conv; all norms are masked
+(sync-capable) batch norms. `normalize_before=True` semantics (the config
+default): every conv group is norm -> relu -> conv.
+
+Channel schedule (config:45-46): [32, 64, 96, 128, 160].
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.pyramid import GridPyramid
+from ..ops.sparse_conv import inverse_conv, strided_conv, subm_conv
+from .norm import MaskedBatchNorm
+
+
+def _kaiming_subm(key, shape, dtype=jnp.float32):
+    """Kaiming-uniform over (K, Cin, Cout) matching torch Conv3d default init."""
+    import jax
+
+    fan_in = shape[0] * shape[1]
+    bound = (6.0 / fan_in) ** 0.5  # gain sqrt(2) / sqrt(3) folded: a=sqrt(5) init
+    return jax.random.uniform(key, shape, dtype, -bound, bound) / (2.0**0.5)
+
+
+class SubmConv(nn.Module):
+    """Submanifold 3x3x3 conv (bias-free), weights (27, Cin, Cout)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, neighbors: jnp.ndarray) -> jnp.ndarray:
+        w = self.param(
+            "kernel", _kaiming_subm, (27, x.shape[-1], self.out_channels)
+        )
+        return subm_conv(x, neighbors, w)
+
+
+class ResidualBlock(nn.Module):
+    """Pre-norm residual block (reference spconv_unet.py:13-91).
+
+    norm -> relu -> subm3 -> norm -> relu -> subm3, plus identity branch
+    (1x1 conv when channels change).
+    """
+
+    out_channels: int
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, mask, neighbors, train: bool):
+        identity = x
+        if x.shape[-1] != self.out_channels:
+            wi = self.param(
+                "i_branch",
+                nn.initializers.lecun_uniform(),
+                (x.shape[-1], self.out_channels),
+            )
+            identity = jnp.dot(x, wi, preferred_element_type=jnp.float32)
+
+        h = MaskedBatchNorm(x.shape[-1], axis_name=self.axis_name, name="norm1")(
+            x, mask, use_running_average=not train
+        )
+        h = nn.relu(h)
+        h = SubmConv(self.out_channels, name="conv1")(h, neighbors)
+        h = MaskedBatchNorm(
+            self.out_channels, axis_name=self.axis_name, name="norm2"
+        )(h, mask, use_running_average=not train)
+        h = nn.relu(h)
+        h = SubmConv(self.out_channels, name="conv2")(h, neighbors)
+        return h + identity
+
+
+class SpConvUNet(nn.Module):
+    """Recursive U-Net, expressed iteratively over the grid pyramid.
+
+    Mirrors reference spconv_unet.py:205-240: per level 2 pre-blocks, strided
+    down, recurse, inverse up, skip-concat, 2 tail blocks (first halves the
+    concatenated channels).
+    """
+
+    num_planes: Sequence[int]  # e.g. (32, 64, 96, 128, 160)
+    block_reps: int = 2
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, pyramid: GridPyramid, train: bool):
+        planes = list(self.num_planes)
+        levels = len(planes)
+        assert len(pyramid.grids) >= levels
+
+        # Down path: pre-blocks then strided conv.
+        skips = []
+        for lvl in range(levels):
+            mask = pyramid.grids[lvl].valid
+            nbr = pyramid.neighbors[lvl]
+            for i in range(self.block_reps):
+                x = ResidualBlock(
+                    planes[lvl],
+                    axis_name=self.axis_name,
+                    name=f"level{lvl}_block{i}",
+                )(x, mask, nbr, train)
+            if lvl < levels - 1:
+                skips.append(x)
+                h = MaskedBatchNorm(
+                    planes[lvl],
+                    axis_name=self.axis_name,
+                    name=f"level{lvl}_down_norm",
+                )(x, mask, use_running_average=not train)
+                h = nn.relu(h)
+                wd = self.param(
+                    f"level{lvl}_down_kernel",
+                    _kaiming_subm,
+                    (8, planes[lvl], planes[lvl + 1]),
+                )
+                x = strided_conv(h, pyramid.ds[lvl], wd)
+
+        # Up path: inverse conv, concat skip, tail blocks.
+        for lvl in range(levels - 2, -1, -1):
+            mask_coarse = pyramid.grids[lvl + 1].valid
+            mask = pyramid.grids[lvl].valid
+            nbr = pyramid.neighbors[lvl]
+            h = MaskedBatchNorm(
+                planes[lvl + 1],
+                axis_name=self.axis_name,
+                name=f"level{lvl}_up_norm",
+            )(x, mask_coarse, use_running_average=not train)
+            h = nn.relu(h)
+            wu = self.param(
+                f"level{lvl}_up_kernel",
+                _kaiming_subm,
+                (8, planes[lvl + 1], planes[lvl]),
+            )
+            h = inverse_conv(h, pyramid.ds[lvl], wu)
+            x = jnp.concatenate([skips[lvl], h], axis=-1)
+            for i in range(self.block_reps):
+                # First tail block: 2*planes -> planes (reference
+                # spconv_unet.py:194-201, num_planes[0]*(2-i)).
+                x = ResidualBlock(
+                    planes[lvl],
+                    axis_name=self.axis_name,
+                    name=f"level{lvl}_tail{i}",
+                )(x, mask, nbr, train)
+        return x
+
+
+class UNetBackbone(nn.Module):
+    """Input subm conv + U-Net + output BN/ReLU (unidet3d/unidet3d.py:95-134)."""
+
+    num_planes: Sequence[int]
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, vox_feats: jnp.ndarray, pyramid: GridPyramid, train: bool):
+        x = SubmConv(self.num_planes[0], name="input_conv")(
+            vox_feats, pyramid.neighbors[0]
+        )
+        x = SpConvUNet(
+            self.num_planes, axis_name=self.axis_name, name="unet"
+        )(x, pyramid, train)
+        x = MaskedBatchNorm(
+            self.num_planes[0], axis_name=self.axis_name, name="output_norm"
+        )(x, pyramid.grids[0].valid, use_running_average=not train)
+        x = nn.relu(x)
+        # Zero out padding rows so downstream pooling stays exact.
+        return jnp.where(pyramid.grids[0].valid[:, None], x, 0.0)
