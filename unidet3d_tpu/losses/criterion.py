@@ -39,6 +39,19 @@ class SceneGT(NamedTuple):
     query_masks: jnp.ndarray  # (G, Q) bool: query may match this GT
 
 
+_SAFE_BOX = jnp.array([0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0])
+_SAFE_BOX2 = jnp.array([0.3, 0.2, 0.1, 1.0, 1.0, 1.0, 0.4])
+
+
+def _sanitize_rot_inputs(pred, tgt, rotated):
+    """Replace the rotated branch's inputs with well-conditioned dummies for
+    non-rotated scenes so its (unselected) backward pass stays NaN-free —
+    the standard double-where guard."""
+    p = jnp.where(rotated, pred, _SAFE_BOX)
+    t = jnp.where(rotated, tgt, _SAFE_BOX2)
+    return p, t
+
+
 def _pairwise_bbox_cost(boxes_q, boxes_g, rotated):
     """(Q, 7) x (G, 7) -> (Q, G) DIoU loss, both aa/rotated branches blended
     by the per-scene `rotated` flag."""
@@ -48,9 +61,10 @@ def _pairwise_bbox_cost(boxes_q, boxes_g, rotated):
     bq6 = boxes_to_corner_format(jnp.broadcast_to(bq[..., :6], (q, g, 6)))
     bg6 = boxes_to_corner_format(jnp.broadcast_to(bg[..., :6], (q, g, 6)))
     aa = axis_aligned_diou_loss(bq6, bg6)
-    rot = rotated_diou_3d_loss(
-        jnp.broadcast_to(bq, (q, g, 7)), jnp.broadcast_to(bg, (q, g, 7))
+    rp, rt = _sanitize_rot_inputs(
+        jnp.broadcast_to(bq, (q, g, 7)), jnp.broadcast_to(bg, (q, g, 7)), rotated
     )
+    rot = rotated_diou_3d_loss(rp, rt)
     return jnp.where(rotated, rot, aa)
 
 
@@ -60,7 +74,8 @@ def _elementwise_bbox_loss(pred, tgt, rotated):
         boxes_to_corner_format(pred[..., :6]),
         boxes_to_corner_format(tgt[..., :6]),
     )
-    rot = rotated_diou_3d_loss(pred, tgt)
+    rp, rt = _sanitize_rot_inputs(pred, tgt, rotated)
+    rot = rotated_diou_3d_loss(rp, rt)
     return jnp.where(rotated, rot, aa)
 
 

@@ -100,8 +100,14 @@ def decode_boxes(
     dz = bbox_pred[..., 4] + bbox_pred[..., 5]
 
     scale = dx + dy
-    q = jnp.exp(jnp.sqrt(bbox_pred[..., 6] ** 2 + bbox_pred[..., 7] ** 2))
-    alpha = 0.5 * jnp.arctan2(bbox_pred[..., 6], bbox_pred[..., 7])
+    # 1e-20 guards the sqrt/arctan2 gradients at the (s, c) = (0, 0) point.
+    s_p, c_p = bbox_pred[..., 6], bbox_pred[..., 7]
+    norm2 = s_p**2 + c_p**2
+    q = jnp.exp(jnp.sqrt(norm2 + 1e-20))
+    safe = norm2 > 1e-20
+    alpha = 0.5 * jnp.arctan2(
+        jnp.where(safe, s_p, 0.0), jnp.where(safe, c_p, 1.0)
+    )
 
     r = rotated[:, None]
     w = jnp.where(r, scale / (1 + q), dx)

@@ -15,6 +15,7 @@ Algorithm (per pair of rotated BEV rectangles):
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.boxes import box_corners_bev
@@ -91,6 +92,9 @@ def rotated_intersection_area_2d(
     Returns:
         (...,) intersection areas.
     """
+    shape = jnp.broadcast_shapes(boxes5_a.shape, boxes5_b.shape)
+    boxes5_a = jnp.broadcast_to(boxes5_a, shape)
+    boxes5_b = jnp.broadcast_to(boxes5_b, shape)
     c1 = box_corners_bev(boxes5_a)  # (..., 4, 2)
     c2 = box_corners_bev(boxes5_b)
 
@@ -108,7 +112,10 @@ def rotated_intersection_area_2d(
     )
 
     rel = (vertices - center[..., None, :]) * validf
-    angles = jnp.arctan2(rel[..., 1], rel[..., 0])
+    # Sort keys only — cut them from the autodiff graph (arctan2 at the
+    # zeroed invalid candidates would emit NaN cotangents otherwise).
+    rel_sg = jax.lax.stop_gradient(rel)
+    angles = jnp.arctan2(rel_sg[..., 1], rel_sg[..., 0])
     angles = jnp.where(valid, angles, jnp.inf)  # invalid -> tail
     order = jnp.argsort(angles, axis=-1)
     rel_sorted = jnp.take_along_axis(rel, order[..., None], axis=-2)
