@@ -210,7 +210,7 @@ def _distance_topk_masks(sp_centers, sp_valid, boxes, gt_valid, topk):
     d = jnp.where(sp_valid[:, None] & gt_valid[None, :], d, BIG)
     # (topk+1)-th smallest distance per box; k clamped to the actual
     # superpoint count (ref :396-399 min(topk + 1, n_points)).
-    k = topk + 1
+    k = int(topk) + 1  # static: train_cfg.topk is a config constant
     neg_top, _ = jax.lax.top_k(-d.T, k)  # (G, k) ascending distances
     n_sp = jnp.sum(sp_valid)
     kth = jnp.minimum(k, jnp.maximum(n_sp, 1)) - 1
@@ -240,7 +240,7 @@ def prepare_gt(
     g_cap = gt.labels.shape[1]
     bbox_by_mask = jnp.asarray(np.asarray(cfg.bbox_by_mask))[batch.dataset_ids]
     tbd = jnp.asarray(np.asarray(cfg.target_by_distance))[batch.dataset_ids]
-    topk_t = jnp.asarray(np.asarray(cfg.train_topk_targets))
+    topk_t = cfg.train_topk_targets  # static python int
 
     # Boxes: recompute from masks OR shift raw boxes into the geometry frame.
     mask_boxes = jax.vmap(_bboxes_from_masks, in_axes=(0, 0, 0, None))(

@@ -41,7 +41,8 @@ class MaskedBatchNorm(nn.Module):
             cnt = jnp.sum(m)
             s = jnp.sum(x * m, axis=0)
             ss = jnp.sum((x * x) * m, axis=0)
-            if self.axis_name is not None:
+            # psum only under shard_map (init runs unmapped — axis unbound).
+            if self.axis_name is not None and not self.is_initializing():
                 cnt = jax.lax.psum(cnt, self.axis_name)
                 s = jax.lax.psum(s, self.axis_name)
                 ss = jax.lax.psum(ss, self.axis_name)

@@ -59,8 +59,10 @@ def searchsorted_pair(
         Indices of the leftmost table position whose key >= query (shape of q1,
         values in [0, V]).
     """
+    import math
+
     n = k1_sorted.shape[0]
-    steps = max(1, int(jnp.ceil(jnp.log2(max(n, 2)))) + 1)
+    steps = max(1, math.ceil(math.log2(max(n, 2))) + 1)
     lo = jnp.zeros_like(q1)
     hi = jnp.full_like(q1, n)
     for _ in range(steps):

@@ -80,16 +80,14 @@ def subm_conv(
         (V, Cout) fp32.
     """
     k = weights.shape[0]
-
-    def body(acc, o):
+    # Unrolled over the (static, small) kernel-offset axis: 27 gathers each
+    # feeding one MXU matmul; XLA overlaps the gathers with the matmuls.
+    # (A lax.scan carry trips shard_map's varying-axis typing; unrolling is
+    # also friendlier to the scheduler.)
+    out = jnp.zeros((features.shape[0], weights.shape[-1]), dtype=jnp.float32)
+    for o in range(k):
         g = features.at[neighbors[:, o]].get(mode="fill", fill_value=0.0)
-        acc = acc + jnp.dot(g, weights[o], preferred_element_type=jnp.float32)
-        return acc, None
-
-    init = jnp.zeros(
-        (features.shape[0], weights.shape[-1]), dtype=jnp.float32
-    )
-    out, _ = jax.lax.scan(body, init, jnp.arange(k))
+        out = out + jnp.dot(g, weights[o], preferred_element_type=jnp.float32)
     return out
 
 

@@ -1,0 +1,129 @@
+"""Data-parallel training/eval steps over a jax.sharding.Mesh.
+
+TPU-native replacement for the reference's DDP + SyncBN + NCCL story
+(SURVEY.md §2c; mmengine MMDistributedDataParallel, tools/train.py:48-52):
+one mesh axis `data` over ICI; the per-device step runs the full local model
+(local voxel sort — no cross-device sort traffic) inside `shard_map`;
+gradients and BN moments cross devices via psum/pmean only. Scaling to
+multi-slice (DCN) is the same mesh with more devices.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..core.config import ModelConfig
+from ..models.detector import GTBatch, PointBatch, detection_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+
+    return Mesh(np.array(devs), axis_names=("data",))
+
+
+def init_state(model, cfg: ModelConfig, optimizer, example_batch, rng):
+    rngs = {"params": rng, "queries": jax.random.fold_in(rng, 1)}
+    variables = model.init(rngs, example_batch, True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = optimizer.init(params)
+    return TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model, cfg: ModelConfig, optimizer, mesh: Mesh):
+    """Build the jitted DP train step: (state, batch, gt, rng) -> (state, metrics).
+
+    `batch`/`gt` leading (global batch) dim must be divisible by the mesh size;
+    state is replicated, data sharded over `data`.
+    """
+    assert cfg.axis_name == "data", (
+        "multi-device training requires cfg.axis_name='data' so BN moments "
+        "sync across the mesh"
+    )
+
+    def local_step(state: TrainState, batch: PointBatch, gt: GTBatch, rng):
+        my = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+
+        def loss_fn(params):
+            (out, aux), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                True,
+                rngs={"queries": my},
+                mutable=["batch_stats"],
+            )
+            loss = detection_loss(cfg, out, aux, batch, gt)
+            return loss, mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        grads = jax.lax.pmean(grads, "data")
+        loss = jax.lax.pmean(loss, "data")
+        # BN stats are identical across devices already (moments are psum'd
+        # inside MaskedBatchNorm when cfg.axis_name == 'data').
+        updates, new_opt = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        new_state = TrainState(
+            new_params, new_bs, new_opt, state.step + 1
+        )
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(),  # state replicated
+            P("data"),  # batch sharded on scenes
+            P("data"),
+            P(),  # rng replicated (folded per device)
+        ),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def make_eval_step(model, cfg: ModelConfig, mesh: Mesh | None = None):
+    """Jitted inference forward: (state, batch) -> (DecoderOutput, ForwardAux).
+
+    Single-device by default (eval batches are bs=1 in the reference,
+    config:648); pass a mesh to shard eval over scenes.
+    """
+
+    def fwd(params, batch_stats, batch: PointBatch):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch, False
+        )
+
+    if mesh is None:
+        return jax.jit(fwd)
+
+    mapped = shard_map(
+        fwd,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data")),
+        # DecoderOutput leaves are (L, B, ...) — batch on dim 1; ForwardAux
+        # leaves are (B, ...).
+        out_specs=(P(None, "data"), P("data")),
+    )
+    return jax.jit(mapped)
