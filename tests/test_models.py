@@ -6,7 +6,7 @@ import jax.numpy as jnp
 from unidet3d_tpu.core.class_table import build_class_table
 from unidet3d_tpu.models.decoder import UniDecoder, decode_boxes
 from unidet3d_tpu.models.unet import UNetBackbone
-from unidet3d_tpu.ops.pyramid import build_pyramid
+from unidet3d_tpu.ops.gridpack import build_gridpack_device
 from unidet3d_tpu.ops.voxelize import voxelize
 
 RNG = np.random.RandomState(7)
@@ -17,15 +17,20 @@ def _make_grid(n=200, extent=16, batch=2, capacity=256):
     b = RNG.randint(0, batch, size=(n, 1))
     bxyz = np.concatenate([b, coords], axis=1).astype(np.int32)
     feats = RNG.randn(n, 6).astype(np.float32)
-    return voxelize(jnp.array(bxyz), jnp.ones(n, bool), capacity, jnp.array(feats))
+    grid, vf = voxelize(
+        jnp.array(bxyz), jnp.ones(n, bool), capacity, jnp.array(feats)
+    )
+    pack, _ = build_gridpack_device(
+        jnp.array(bxyz), jnp.ones(n, bool), [capacity, 128, 64, 32, 16]
+    )
+    return grid, vf, pack
 
 
 def test_unet_forward_shapes_and_padding():
-    grid, vf = _make_grid()
-    pyr = build_pyramid(grid, [256, 128, 64, 32, 16])
+    grid, vf, pack = _make_grid()
     model = UNetBackbone(num_planes=(8, 16, 24, 32, 40))
-    params = model.init(jax.random.PRNGKey(0), vf, pyr, False)
-    out = model.apply(params, vf, pyr, False)
+    params = model.init(jax.random.PRNGKey(0), vf, pack, False)
+    out = model.apply(params, vf, pack, False)
     assert out.shape == (256, 8)
     nv = int(grid.n_voxels)
     out = np.asarray(out)
@@ -34,12 +39,11 @@ def test_unet_forward_shapes_and_padding():
 
 
 def test_unet_train_mode_updates_batch_stats():
-    grid, vf = _make_grid()
-    pyr = build_pyramid(grid, [256, 128, 64, 32, 16])
+    grid, vf, pack = _make_grid()
     model = UNetBackbone(num_planes=(8, 16, 24, 32, 40))
-    variables = model.init(jax.random.PRNGKey(0), vf, pyr, True)
+    variables = model.init(jax.random.PRNGKey(0), vf, pack, True)
     out, mutated = model.apply(
-        variables, vf, pyr, True, mutable=["batch_stats"]
+        variables, vf, pack, True, mutable=["batch_stats"]
     )
     assert "batch_stats" in mutated
     # Running stats must have moved away from init.

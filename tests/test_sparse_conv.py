@@ -69,7 +69,9 @@ def test_strided_and_inverse_conv():
     w = RNG.randn(8, cin, cout).astype(np.float32)
 
     ds = build_downsample_map(grid, 32)
-    out = np.asarray(strided_conv(vf, ds, jnp.array(w)))
+    out = np.asarray(
+        strided_conv(vf, ds.parent, ds.offset_code, 32, jnp.array(w))
+    )
     n_out = int(ds.grid.n_voxels)
     out_coords = np.asarray(ds.grid.coords)[:n_out]
 
@@ -89,7 +91,9 @@ def test_strided_and_inverse_conv():
     # Inverse conv: out[i] = coarse_feat[parent(i)] @ w2[o_i].
     w2 = RNG.randn(8, cout, cin).astype(np.float32)
     coarse = np.asarray(out)
-    up = np.asarray(inverse_conv(jnp.array(coarse), ds, jnp.array(w2)))
+    up = np.asarray(
+        inverse_conv(jnp.array(coarse), ds.parent, ds.offset_code, jnp.array(w2))
+    )
     expected_up = np.zeros((nv, cin), np.float32)
     for i, c in enumerate(coords.tolist()):
         parent = (c[0], c[1] // 2, c[2] // 2, c[3] // 2)

@@ -23,9 +23,8 @@ from flax import linen as nn
 from ..core.class_table import ClassTable
 from ..core.config import ModelConfig
 from ..losses.criterion import SceneGT, criterion
-from ..ops.pyramid import build_pyramid
+from ..ops.gridpack import GridPack, build_gridpack_device
 from ..ops.segment import segment_mean, segment_sum
-from ..ops.voxelize import voxelize
 from .decoder import DecoderOutput, UniDecoder
 from .unet import UNetBackbone
 
@@ -86,7 +85,12 @@ class UniDet3DTPU(nn.Module):
     table: ClassTable
 
     @nn.compact
-    def __call__(self, batch: PointBatch, train: bool):
+    def __call__(
+        self,
+        batch: PointBatch,
+        train: bool,
+        rulebooks: GridPack | None = None,
+    ):
         cfg = self.cfg
         b, p, _ = batch.points.shape
         s = cfg.max_superpoints
@@ -97,30 +101,39 @@ class UniDet3DTPU(nn.Module):
         pmin = jnp.min(vs, axis=1, keepdims=True)  # (B, 1, 3)
         pmin = jnp.where(pmin >= BIG, 0.0, pmin)  # empty-scene guard
         shifted = batch.vox_src - pmin
-        icoords = jnp.floor(shifted).astype(jnp.int32)
 
         flat_valid = batch.valid.reshape(-1)
-        batch_idx = jnp.repeat(
-            jnp.arange(b, dtype=jnp.int32)[:, None], p, axis=1
-        ).reshape(-1, 1)
-        bxyz = jnp.concatenate([batch_idx, icoords.reshape(-1, 3)], axis=-1)
-        grid, vox_feats = voxelize(
-            bxyz,
-            flat_valid,
-            cfg.voxel_capacity,
-            batch.features.reshape(b * p, -1),
+        if rulebooks is None:
+            # Pure-XLA fallback (tests, dry runs): build rulebooks on device.
+            icoords = jnp.floor(shifted).astype(jnp.int32)
+            batch_idx = jnp.repeat(
+                jnp.arange(b, dtype=jnp.int32)[:, None], p, axis=1
+            ).reshape(-1, 1)
+            bxyz = jnp.concatenate(
+                [batch_idx, icoords.reshape(-1, 3)], axis=-1
+            )
+            rulebooks, _ = build_gridpack_device(
+                bxyz, flat_valid, list(cfg.level_capacities(b))
+            )
+        pack = rulebooks
+        v0 = pack.capacity(0)
+
+        # Voxel features: per-voxel mean of point features (ME TensorField
+        # average-dedup semantics, ref :170-174).
+        pinv = jnp.where(flat_valid, pack.point_inverse, v0)
+        vox_feats = segment_mean(
+            batch.features.reshape(b * p, -1), pinv, v0
         )
-        pyramid = build_pyramid(grid, list(cfg.level_capacities(b)))
 
         # --- backbone (ref :113-129).
         feats = UNetBackbone(
             num_planes=cfg.num_planes,
             axis_name=cfg.axis_name,
             name="backbone",
-        )(vox_feats, pyramid, train)
+        )(vox_feats, pack, train)
 
         # --- voxel -> point -> superpoint pooling (ref :130).
-        point_feats = feats.at[grid.inverse].get(mode="fill", fill_value=0.0)
+        point_feats = feats.at[pinv].get(mode="fill", fill_value=0.0)
         sp_flat = (
             jnp.repeat(jnp.arange(b, dtype=jnp.int32)[:, None], p, axis=1) * s
             + jnp.clip(batch.sp_ids, 0, s - 1)

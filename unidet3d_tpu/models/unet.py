@@ -16,7 +16,7 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.pyramid import GridPyramid
+from ..ops.gridpack import GridPack
 from ..ops.sparse_conv import inverse_conv, strided_conv, subm_conv
 from .norm import MaskedBatchNorm
 
@@ -90,16 +90,16 @@ class SpConvUNet(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, pyramid: GridPyramid, train: bool):
+    def __call__(self, x: jnp.ndarray, pack: GridPack, train: bool):
         planes = list(self.num_planes)
         levels = len(planes)
-        assert len(pyramid.grids) >= levels
+        assert pack.num_levels >= levels
 
         # Down path: pre-blocks then strided conv.
         skips = []
         for lvl in range(levels):
-            mask = pyramid.grids[lvl].valid
-            nbr = pyramid.neighbors[lvl]
+            mask = pack.valid[lvl]
+            nbr = pack.neighbors[lvl]
             for i in range(self.block_reps):
                 x = ResidualBlock(
                     planes[lvl],
@@ -119,13 +119,19 @@ class SpConvUNet(nn.Module):
                     _kaiming_subm,
                     (8, planes[lvl], planes[lvl + 1]),
                 )
-                x = strided_conv(h, pyramid.ds[lvl], wd)
+                x = strided_conv(
+                    h,
+                    pack.parent[lvl],
+                    pack.offset_code[lvl],
+                    pack.capacity(lvl + 1),
+                    wd,
+                )
 
         # Up path: inverse conv, concat skip, tail blocks.
         for lvl in range(levels - 2, -1, -1):
-            mask_coarse = pyramid.grids[lvl + 1].valid
-            mask = pyramid.grids[lvl].valid
-            nbr = pyramid.neighbors[lvl]
+            mask_coarse = pack.valid[lvl + 1]
+            mask = pack.valid[lvl]
+            nbr = pack.neighbors[lvl]
             h = MaskedBatchNorm(
                 planes[lvl + 1],
                 axis_name=self.axis_name,
@@ -137,7 +143,7 @@ class SpConvUNet(nn.Module):
                 _kaiming_subm,
                 (8, planes[lvl + 1], planes[lvl]),
             )
-            h = inverse_conv(h, pyramid.ds[lvl], wu)
+            h = inverse_conv(h, pack.parent[lvl], pack.offset_code[lvl], wu)
             x = jnp.concatenate([skips[lvl], h], axis=-1)
             for i in range(self.block_reps):
                 # First tail block: 2*planes -> planes (reference
@@ -157,16 +163,16 @@ class UNetBackbone(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, vox_feats: jnp.ndarray, pyramid: GridPyramid, train: bool):
+    def __call__(self, vox_feats: jnp.ndarray, pack: GridPack, train: bool):
         x = SubmConv(self.num_planes[0], name="input_conv")(
-            vox_feats, pyramid.neighbors[0]
+            vox_feats, pack.neighbors[0]
         )
         x = SpConvUNet(
             self.num_planes, axis_name=self.axis_name, name="unet"
-        )(x, pyramid, train)
+        )(x, pack, train)
         x = MaskedBatchNorm(
             self.num_planes[0], axis_name=self.axis_name, name="output_norm"
-        )(x, pyramid.grids[0].valid, use_running_average=not train)
+        )(x, pack.valid[0], use_running_average=not train)
         x = nn.relu(x)
         # Zero out padding rows so downstream pooling stays exact.
-        return jnp.where(pyramid.grids[0].valid[:, None], x, 0.0)
+        return jnp.where(pack.valid[0][:, None], x, 0.0)

@@ -1,0 +1,231 @@
+"""GridPack: the complete sparse-conv rulebook set for one batch.
+
+Design note (the key TPU-native architecture decision of this framework):
+XLA-on-TPU executes *scalar* gathers (binary searches) and large sorts far
+from speed-of-light, while row gathers, segment-sums and MXU matmuls are
+fast. Rulebook construction is pure integer hashing that depends only on the
+input coordinates — so, exactly like spconv builds its pair tables in native
+code on GPU, we build them on the HOST (numpy here, multithreaded C++ in
+unidet3d_tpu/native) inside the input pipeline, overlapped with device
+compute. The device-side builder (build_gridpack_device) keeps a pure-XLA
+fallback used for tests/dry-runs and single-source semantics.
+
+A GridPack contains, for each U-Net level l:
+  * valid[l]: (V_l,) voxel validity
+  * neighbors[l]: (V_l, 27) submanifold-conv neighbor table (sentinel V_l)
+and for each level transition l -> l+1:
+  * parent[l]: (V_l,) fine-voxel -> coarse-voxel row (sentinel V_{l+1})
+  * offset_code[l]: (V_l,) 3-bit kernel offset of the strided/inverse conv
+plus point_inverse: (N,) point -> level-0 voxel (sentinel V_0).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import numpy as np
+
+
+class GridPack(NamedTuple):
+    valid: tuple  # per level: (V_l,) bool
+    neighbors: tuple  # per level: (V_l, 27) int32
+    parent: tuple  # per transition: (V_l,) int32
+    offset_code: tuple  # per transition: (V_l,) int32
+    point_inverse: object  # (N,) int32
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.valid)
+
+    def capacity(self, level: int) -> int:
+        return self.valid[level].shape[0]
+
+
+def build_gridpack_device(bxyz, point_valid, capacities: Sequence[int]):
+    """Pure-XLA GridPack construction (fallback path; jittable).
+
+    Args:
+        bxyz: (N, 4) int32 (batch, x, y, z) quantized coords.
+        point_valid: (N,) bool.
+        capacities: voxel capacity per level.
+
+    Returns:
+        (GridPack, VoxelGrid level-0) — the grid is returned for feature
+        averaging (counts) by the caller.
+    """
+    from .pyramid import build_pyramid
+    from .voxelize import voxelize
+
+    grid0, _ = voxelize(bxyz, point_valid, capacities[0])
+    pyr = build_pyramid(grid0, list(capacities))
+    return (
+        GridPack(
+            valid=tuple(g.valid for g in pyr.grids),
+            neighbors=pyr.neighbors,
+            parent=tuple(d.parent for d in pyr.ds),
+            offset_code=tuple(d.offset_code for d in pyr.ds),
+            point_inverse=grid0.inverse,
+        ),
+        grid0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy) builder — reference implementation for the C++ kernel and the
+# production input-pipeline path.
+# ---------------------------------------------------------------------------
+
+_SUBM_OFFSETS = np.array(
+    [
+        (dx, dy, dz)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dz in (-1, 0, 1)
+    ],
+    dtype=np.int64,
+)
+
+
+def _pack64(bxyz: np.ndarray) -> np.ndarray:
+    b, x, y, z = (bxyz[:, i].astype(np.int64) for i in range(4))
+    return (b << 36) | (x << 24) | (y << 12) | z
+
+
+def build_gridpack_host(
+    bxyz: np.ndarray, point_valid: np.ndarray, capacities: Sequence[int]
+):
+    """Numpy GridPack builder with semantics identical to the device path:
+    voxels sorted by (batch, x, y, z); overflow beyond capacity dropped.
+
+    Returns (GridPack of numpy arrays, counts0 (V_0,) float32 point counts).
+    """
+    try:
+        from ..native import rulebook as _native
+
+        if _native.available():
+            return _native.build_gridpack(
+                bxyz, point_valid, list(capacities)
+            )
+    except ImportError:
+        pass
+    return build_gridpack_numpy(bxyz, point_valid, capacities)
+
+
+def build_gridpack_numpy(
+    bxyz: np.ndarray, point_valid: np.ndarray, capacities: Sequence[int]
+):
+    n = bxyz.shape[0]
+    coords = bxyz.astype(np.int64).copy()
+    coords[:, 1:] = np.clip(coords[:, 1:], 0, 4095)
+
+    valids, neighbors, parents, offsets = [], [], [], []
+
+    # Level 0: dedup points -> voxels (sorted by packed key = (b, x, y, z)).
+    keys = _pack64(coords)
+    keys_v = np.where(point_valid, keys, np.iinfo(np.int64).max)
+    order = np.argsort(keys_v, kind="stable")
+    ks = keys_v[order]
+    new_group = np.empty(n, bool)
+    new_group[0] = True
+    new_group[1:] = ks[1:] != ks[:-1]
+    seg = np.cumsum(new_group) - 1
+    valid_s = point_valid[order]
+    n_vox = int(new_group[valid_s].sum())
+
+    cap0 = capacities[0]
+    n_vox = min(n_vox, cap0)
+    seg_ok = valid_s & (seg < cap0)
+    seg_c = np.where(seg_ok, seg, cap0)
+    point_inverse = np.empty(n, np.int32)
+    point_inverse[order] = seg_c.astype(np.int32)
+
+    lvl_keys = np.full(cap0, np.iinfo(np.int64).max, np.int64)
+    first = new_group & seg_ok
+    lvl_keys[seg_c[first]] = ks[first]
+    counts0 = np.bincount(
+        seg_c[seg_c < cap0], minlength=cap0
+    ).astype(np.float32)
+
+    cur_keys = lvl_keys
+    cur_n = n_vox
+    for li, cap in enumerate(capacities):
+        valids.append(np.arange(cap) < cur_n)
+        kk = cur_keys[:cur_n]
+        kb = kk >> 36
+        kx = (kk >> 24) & 4095
+        ky = (kk >> 12) & 4095
+        kz = kk & 4095
+        # Submanifold neighbors for all 27 offsets at once: the level keys are
+        # sorted, so one vectorised np.searchsorted resolves everything.
+        d = _SUBM_OFFSETS  # (27, 3)
+        qx = kx[:, None] + d[None, :, 0]
+        qy = ky[:, None] + d[None, :, 1]
+        qz = kz[:, None] + d[None, :, 2]
+        ok = (
+            (qx >= 0) & (qx <= 4095)
+            & (qy >= 0) & (qy <= 4095)
+            & (qz >= 0) & (qz <= 4095)
+        )
+        qk = (
+            (kb[:, None] << 36)
+            | (np.clip(qx, 0, None) << 24)
+            | (np.clip(qy, 0, None) << 12)
+            | np.clip(qz, 0, None)
+        )
+        pos = np.searchsorted(kk, qk)
+        posc = np.minimum(pos, max(cur_n - 1, 0))
+        found = ok & (pos < cur_n) & (
+            kk[posc] == qk if cur_n else np.zeros_like(ok)
+        )
+        nbr = np.full((cap, 27), cap, np.int32)
+        nbr[:cur_n] = np.where(found, posc, cap).astype(np.int32)
+        neighbors.append(nbr)
+
+        if li == len(capacities) - 1:
+            break
+        # Downsample transition (unique over halved coords, sorted order —
+        # identical to the device voxelize semantics).
+        ncap = capacities[li + 1]
+        pk = (kb << 36) | ((kx >> 1) << 24) | ((ky >> 1) << 12) | (kz >> 1)
+        uniq, inv = np.unique(pk, return_inverse=True)
+        nn = min(len(uniq), ncap)
+        par = np.full(cap, ncap, np.int32)
+        par[:cur_n] = np.where(inv < ncap, inv, ncap).astype(np.int32)
+        off = np.zeros(cap, np.int32)
+        off[:cur_n] = ((kx & 1) * 4 + (ky & 1) * 2 + (kz & 1)).astype(np.int32)
+        parents.append(par)
+        offsets.append(off)
+        nk = np.full(ncap, np.iinfo(np.int64).max, np.int64)
+        nk[:nn] = uniq[:nn]
+        cur_keys = nk
+        cur_n = nn
+
+    pack = GridPack(
+        valid=tuple(valids),
+        neighbors=tuple(neighbors),
+        parent=tuple(parents),
+        offset_code=tuple(offsets),
+        point_inverse=point_inverse,
+    )
+    return pack, counts0
+
+
+def quantize_points(vox_src: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Host-side quantization identical to the device path: per-scene
+    min-shift over valid points, floor, batch-prefixed int32 coords.
+
+    Args:
+        vox_src: (B, P, 3) float32 voxel-unit coords.
+        valid: (B, P) bool.
+
+    Returns:
+        (B*P, 4) int32 (batch, x, y, z).
+    """
+    b, p, _ = vox_src.shape
+    vs = np.where(valid[..., None], vox_src, 1e9).astype(np.float32)
+    pmin = vs.min(axis=1, keepdims=True)
+    pmin = np.where(pmin >= 1e9, 0.0, pmin)
+    icoords = np.floor(vox_src - pmin).astype(np.int32)
+    bidx = np.repeat(np.arange(b, dtype=np.int32)[:, None], p, axis=1)
+    return np.concatenate(
+        [bidx.reshape(-1, 1), icoords.reshape(-1, 3)], axis=1
+    )

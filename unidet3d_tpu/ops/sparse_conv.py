@@ -47,23 +47,29 @@ def build_subm_neighbors(grid: VoxelGrid) -> jnp.ndarray:
     """Neighbor table (V, 27) for submanifold 3x3x3 conv on a sorted grid.
 
     Entry [i, o] is the voxel row of neighbor i+offset_o, or `capacity`
-    (sentinel) when absent/invalid. Built with 27 vectorised binary searches.
+    (sentinel) when absent/invalid. All 27 offsets are resolved in ONE
+    batched binary search (a (V, 27) query matrix) so the log2(V) search
+    steps are a handful of large gathers instead of hundreds of tiny ones —
+    the search is latency-bound otherwise.
     """
     cap = grid.capacity
     coords = grid.coords  # (V, 4)
-    nbrs = []
-    for off in SUBM_OFFSETS:
-        if off == (0, 0, 0):
-            self_idx = jnp.arange(cap, dtype=jnp.int32)
-            nbrs.append(jnp.where(grid.valid, self_idx, cap))
-            continue
-        q = coords + jnp.array([0, *off], dtype=jnp.int32)
-        in_range = jnp.all((q[:, 1:] >= 0) & (q[:, 1:] <= 4095), axis=-1)
-        ok = grid.valid & in_range
-        q1, q2 = pack_keys(jnp.clip(q, 0), ok)
-        idx, found = lookup_pair(grid.key1, grid.key2, q1, q2)
-        nbrs.append(jnp.where(found & ok, idx.astype(jnp.int32), cap))
-    return jnp.stack(nbrs, axis=1)
+    offs = jnp.array(
+        [[0, dx, dy, dz] for (dx, dy, dz) in SUBM_OFFSETS], dtype=jnp.int32
+    )  # (27, 4)
+    q = coords[:, None, :] + offs[None, :, :]  # (V, 27, 4)
+    in_range = jnp.all((q[..., 1:] >= 0) & (q[..., 1:] <= 4095), axis=-1)
+    ok = grid.valid[:, None] & in_range  # (V, 27)
+    q1, q2 = pack_keys(jnp.clip(q, 0).reshape(-1, 4), ok.reshape(-1))
+    idx, found = lookup_pair(grid.key1, grid.key2, q1, q2)
+    nbr = jnp.where(
+        (found & ok.reshape(-1)), idx.astype(jnp.int32), cap
+    ).reshape(-1, len(SUBM_OFFSETS))
+    # Center offset is the identity (cheaper than searching, and exact even
+    # for duplicate-free guarantees).
+    center = SUBM_OFFSETS.index((0, 0, 0))
+    self_idx = jnp.where(grid.valid, jnp.arange(cap, dtype=jnp.int32), cap)
+    return nbr.at[:, center].set(self_idx)
 
 
 def subm_conv(
@@ -120,34 +126,41 @@ def build_downsample_map(grid: VoxelGrid, out_capacity: int) -> DownsampleMap:
 
 
 def strided_conv(
-    features: jnp.ndarray, ds: DownsampleMap, weights: jnp.ndarray
+    features: jnp.ndarray,
+    parent: jnp.ndarray,
+    offset_code: jnp.ndarray,
+    out_capacity: int,
+    weights: jnp.ndarray,
 ) -> jnp.ndarray:
     """k=2 s=2 downsampling conv: out[p] = sum_{i: parent(i)=p} feat[i] @ W[o_i].
 
     Args:
         features: (V_in, Cin) fine-level features.
-        ds: rulebook from build_downsample_map.
+        parent: (V_in,) fine -> coarse row (sentinel out_capacity).
+        offset_code: (V_in,) 3-bit kernel offset.
         weights: (8, Cin, Cout).
 
     Returns:
         (V_out, Cout) coarse-level features.
     """
-    out_capacity = ds.grid.capacity
     contrib = jnp.zeros(
         (features.shape[0], weights.shape[-1]), dtype=jnp.float32
     )
     for o in range(8):
-        sel = (ds.offset_code == o)[:, None]
+        sel = (offset_code == o)[:, None]
         contrib = contrib + jnp.dot(
             jnp.where(sel, features, 0.0),
             weights[o],
             preferred_element_type=jnp.float32,
         )
-    return segment_sum(contrib, ds.parent, out_capacity)
+    return segment_sum(contrib, parent, out_capacity)
 
 
 def inverse_conv(
-    features: jnp.ndarray, ds: DownsampleMap, weights: jnp.ndarray
+    features: jnp.ndarray,
+    parent: jnp.ndarray,
+    offset_code: jnp.ndarray,
+    weights: jnp.ndarray,
 ) -> jnp.ndarray:
     """k=2 inverse (upsampling) conv reusing the downsample rulebook.
 
@@ -157,16 +170,18 @@ def inverse_conv(
 
     Args:
         features: (V_out, Cin) coarse-level features.
-        ds: rulebook from build_downsample_map (same one the strided conv used).
+        parent: (V_in,) fine -> coarse row map (same rulebook the strided
+            conv used).
+        offset_code: (V_in,) 3-bit kernel offset.
         weights: (8, Cin, Cout).
 
     Returns:
         (V_in, Cout) fine-level features.
     """
-    g = features.at[ds.parent].get(mode="fill", fill_value=0.0)  # (V_in, Cin)
+    g = features.at[parent].get(mode="fill", fill_value=0.0)  # (V_in, Cin)
     out = jnp.zeros((g.shape[0], weights.shape[-1]), dtype=jnp.float32)
     for o in range(8):
-        sel = (ds.offset_code == o)[:, None]
+        sel = (offset_code == o)[:, None]
         out = out + jnp.dot(
             jnp.where(sel, g, 0.0),
             weights[o],
