@@ -1,0 +1,59 @@
+"""Native C++ rulebook builder must match the numpy reference exactly."""
+import numpy as np
+import pytest
+
+from unidet3d_tpu.native import rulebook as native
+from unidet3d_tpu.ops.gridpack import build_gridpack_numpy
+
+
+@pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+def test_native_matches_numpy():
+    rng = np.random.RandomState(0)
+    n = 5000
+    bxyz = np.concatenate(
+        [rng.randint(0, 4, (n, 1)), rng.randint(0, 40, (n, 3))], axis=1
+    ).astype(np.int32)
+    valid = rng.rand(n) > 0.05
+    caps = [4096, 2048, 1024, 512, 256]
+
+    ref_pack, ref_counts = build_gridpack_numpy(bxyz, valid, caps)
+    nat_pack, nat_counts = native.build_gridpack(bxyz, valid, caps)
+
+    np.testing.assert_array_equal(nat_pack.point_inverse, ref_pack.point_inverse)
+    np.testing.assert_allclose(nat_counts, ref_counts)
+    for lvl in range(len(caps)):
+        np.testing.assert_array_equal(
+            nat_pack.valid[lvl], ref_pack.valid[lvl], f"valid L{lvl}"
+        )
+        np.testing.assert_array_equal(
+            nat_pack.neighbors[lvl], ref_pack.neighbors[lvl], f"nbr L{lvl}"
+        )
+    for t in range(len(caps) - 1):
+        v = ref_pack.valid[t]
+        np.testing.assert_array_equal(
+            nat_pack.parent[t][v], ref_pack.parent[t][v], f"parent T{t}"
+        )
+        np.testing.assert_array_equal(
+            nat_pack.offset_code[t][v], ref_pack.offset_code[t][v], f"off T{t}"
+        )
+
+
+@pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+def test_native_overflow_and_all_invalid():
+    rng = np.random.RandomState(1)
+    n = 500
+    bxyz = np.concatenate(
+        [np.zeros((n, 1), np.int32), rng.randint(0, 32, (n, 3)).astype(np.int32)],
+        axis=1,
+    )
+    valid = np.ones(n, bool)
+    ref = build_gridpack_numpy(bxyz, valid, [64, 32])
+    nat = native.build_gridpack(bxyz, valid, [64, 32])
+    np.testing.assert_array_equal(nat[0].point_inverse, ref[0].point_inverse)
+    np.testing.assert_array_equal(nat[0].neighbors[0], ref[0].neighbors[0])
+
+    # All-invalid input.
+    ref2 = build_gridpack_numpy(bxyz, np.zeros(n, bool), [64, 32])
+    nat2 = native.build_gridpack(bxyz, np.zeros(n, bool), [64, 32])
+    np.testing.assert_array_equal(nat2[0].point_inverse, ref2[0].point_inverse)
+    assert not nat2[0].valid[0].any()

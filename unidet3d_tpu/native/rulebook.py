@@ -1,0 +1,107 @@
+"""ctypes wrapper for the native (C++) GridPack builder.
+
+Auto-builds libunidet3d_rulebook.so with g++ on first use (cached next to the
+source). Falls back gracefully when no compiler is available — callers use
+build_gridpack_numpy instead.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Sequence
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "rulebook.cc")
+_LIB = os.path.join(_DIR, "libunidet3d_rulebook.so")
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if (not os.path.exists(_LIB)) or (
+            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+        ):
+            subprocess.run(
+                [
+                    "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                    "-std=c++17", "-pthread", _SRC, "-o", _LIB,
+                ],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(_LIB)
+        lib.unidet3d_build_gridpack.restype = None
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build_gridpack(
+    bxyz: np.ndarray,
+    point_valid: np.ndarray,
+    capacities: Sequence[int],
+    n_threads: int | None = None,
+):
+    """Native GridPack build; same return contract as build_gridpack_numpy."""
+    from ..ops.gridpack import GridPack
+
+    lib = _load()
+    assert lib is not None, "native rulebook library unavailable"
+    n = bxyz.shape[0]
+    n_levels = len(capacities)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+
+    bxyz = np.ascontiguousarray(bxyz, np.int32)
+    valid = np.ascontiguousarray(point_valid, np.uint8)
+    caps = np.asarray(capacities, np.int64)
+
+    point_inverse = np.empty(n, np.int32)
+    counts0 = np.empty(capacities[0], np.float32)
+    valids = [np.empty(c, np.uint8) for c in capacities]
+    neighbors = [np.empty((c, 27), np.int32) for c in capacities]
+    parents = [np.empty(c, np.int32) for c in capacities[:-1]]
+    offsets = [np.empty(c, np.int32) for c in capacities[:-1]]
+
+    def ptr_array(arrs, ty):
+        return (ctypes.POINTER(ty) * len(arrs))(
+            *[a.ctypes.data_as(ctypes.POINTER(ty)) for a in arrs]
+        )
+
+    lib.unidet3d_build_gridpack(
+        bxyz.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n),
+        caps.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int32(n_levels),
+        ctypes.c_int32(n_threads),
+        point_inverse.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        counts0.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ptr_array(valids, ctypes.c_uint8),
+        ptr_array(neighbors, ctypes.c_int32),
+        ptr_array(parents, ctypes.c_int32) if parents else None,
+        ptr_array(offsets, ctypes.c_int32) if offsets else None,
+    )
+
+    pack = GridPack(
+        valid=tuple(v.astype(bool) for v in valids),
+        neighbors=tuple(neighbors),
+        parent=tuple(parents),
+        offset_code=tuple(offsets),
+        point_inverse=point_inverse,
+    )
+    return pack, counts0
