@@ -1,0 +1,166 @@
+"""Data pipeline integration: synthetic on-disk dataset -> pipeline ->
+collate -> model loss."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from unidet3d_tpu.data import transforms as T
+from unidet3d_tpu.data.batcher import collate
+from unidet3d_tpu.data.datasets import ConcatDataset, IndoorDataset
+from unidet3d_tpu.data.pipelines import train_pipeline
+from unidet3d_tpu.data.pipelines import test_pipeline as eval_pipeline
+
+
+def make_fake_scene(root, name, n=2000, n_inst=3, n_sp=30, seed=0, yaw=False):
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "points"), exist_ok=True)
+    for sub in ("instance_mask", "semantic_mask", "super_points"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    pts = np.zeros((n, 6), np.float32)
+    pts[:, :3] = rng.rand(n, 3) * 5
+    pts[:, 3:] = rng.randint(0, 255, (n, 3))
+    pts.tofile(os.path.join(root, "points", f"{name}.bin"))
+
+    inst = rng.randint(-1, n_inst, n).astype(np.int64)
+    # Semantic: instances 0..n_inst-1 -> classes 2 + i (clear of stuff 0,1).
+    sem = np.where(inst >= 0, inst + 2, rng.randint(0, 2, n)).astype(np.int64)
+    inst.tofile(os.path.join(root, "instance_mask", f"{name}.bin"))
+    sem.tofile(os.path.join(root, "semantic_mask", f"{name}.bin"))
+    sp = rng.randint(0, n_sp, n).astype(np.int64)
+    sp.tofile(os.path.join(root, "super_points", f"{name}.bin"))
+
+    boxes = []
+    for i in range(n_inst):
+        m = inst == i
+        if not m.any():
+            continue
+        mn, mx = pts[m, :3].min(0), pts[m, :3].max(0)
+        bb = list((mn + mx) / 2) + list(mx - mn)
+        if yaw:
+            bb.append(0.3)
+        boxes.append({"bbox_3d": bb, "bbox_label_3d": i})
+    return {
+        "lidar_points": {"lidar_path": f"points/{name}.bin"},
+        "pts_instance_mask_path": f"instance_mask/{name}.bin",
+        "pts_semantic_mask_path": f"semantic_mask/{name}.bin",
+        "super_pts_path": f"super_points/{name}.bin",
+        "axis_align_matrix": np.eye(4).tolist(),
+        "instances": boxes,
+    }
+
+
+def write_fake_dataset(root, n_scenes=3, **kw):
+    entries = [
+        make_fake_scene(root, f"scene{i}", seed=i, **kw)
+        for i in range(n_scenes)
+    ]
+    info = {"metainfo": {}, "data_list": entries}
+    path = os.path.join(root, "infos.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(info, f)
+    return path
+
+
+def test_scannet_train_sample(tmp_path):
+    root = str(tmp_path / "scannet")
+    write_fake_dataset(root)
+    ds = IndoorDataset(
+        root, "infos.pkl", 0, pipeline=train_pipeline("scannet"), seed=1
+    )
+    sample = ds[0]
+    assert sample["points"].shape[1] == 6
+    # Colors normalized to ~[-1, 1].
+    assert np.abs(sample["points"][:, 3:]).max() <= 1.001
+    assert "elastic_coords" in sample
+    assert "gt_sp_masks" in sample
+    g = len(sample["gt_labels_3d"])
+    assert sample["gt_sp_masks"].shape[0] == g
+    # Labels = semantic - n_stuff = instance id.
+    assert set(sample["gt_labels_3d"].tolist()) <= {0, 1, 2}
+
+
+def test_s3dis_mapping(tmp_path):
+    root = str(tmp_path / "s3dis")
+    # Instances with semantic classes 2..4 are NOT in S3DIS_CLASSES -> need
+    # classes from [7..11]; build custom scene.
+    rng = np.random.RandomState(0)
+    os.makedirs(os.path.join(root, "points"), exist_ok=True)
+    for sub in ("instance_mask", "semantic_mask", "super_points"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    n = 1000
+    pts = np.zeros((n, 6), np.float32)
+    pts[:, :3] = rng.rand(n, 3) * 4
+    pts.tofile(os.path.join(root, "points", "s.bin"))
+    inst = rng.randint(0, 3, n).astype(np.int64)
+    sem = np.where(inst == 0, 7, np.where(inst == 1, 9, 3)).astype(np.int64)
+    inst.tofile(os.path.join(root, "instance_mask", "s.bin"))
+    sem.tofile(os.path.join(root, "semantic_mask", "s.bin"))
+    rng.randint(0, 10, n).astype(np.int64).tofile(
+        os.path.join(root, "super_points", "s.bin")
+    )
+    info = {
+        "metainfo": {},
+        "data_list": [
+            {
+                "lidar_points": {"lidar_path": "points/s.bin"},
+                "pts_instance_mask_path": "instance_mask/s.bin",
+                "pts_semantic_mask_path": "semantic_mask/s.bin",
+                "super_pts_path": "super_points/s.bin",
+                "instances": [],
+            }
+        ],
+    }
+    with open(os.path.join(root, "infos.pkl"), "wb") as f:
+        pickle.dump(info, f)
+    ds = IndoorDataset(
+        root, "infos.pkl", 1, pipeline=train_pipeline("s3dis"), seed=2
+    )
+    sample = ds[0]
+    # Only instances with classes 7 and 9 kept -> labels {0, 2}.
+    assert set(sample["gt_labels_3d"].tolist()) == {0, 2}
+    assert sample["gt_sp_masks"].shape[0] == 2
+
+
+def test_collate_and_loss(tmp_path):
+    import jax
+    from tests.test_detector import small_config, _build
+    from unidet3d_tpu.models.detector import detection_loss
+
+    root = str(tmp_path / "scannet")
+    write_fake_dataset(root)
+    cfg = small_config(max_points=2048, voxel_capacity=2048, max_superpoints=64)
+    ds = IndoorDataset(
+        root, "infos.pkl", 0, pipeline=train_pipeline("scannet"), seed=1
+    )
+    cat = ConcatDataset([ds])
+    samples = [cat[0], cat[1]]
+    batch_np, gt_np, pack_np = collate(samples, cfg, training=True)
+    import jax.numpy as jnp
+
+    batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
+    gt = jax.tree_util.tree_map(jnp.asarray, gt_np)
+    pack = jax.tree_util.tree_map(jnp.asarray, pack_np)
+
+    model, _ = _build(cfg)
+    rngs = {"params": jax.random.PRNGKey(0), "queries": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, batch, True, pack)
+    (out, aux), _ = model.apply(
+        variables, batch, True, pack,
+        rngs={"queries": jax.random.PRNGKey(2)}, mutable=["batch_stats"],
+    )
+    loss = detection_loss(cfg, out, aux, batch, gt)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_test_pipeline_no_aug(tmp_path):
+    root = str(tmp_path / "scannet")
+    write_fake_dataset(root)
+    ds = IndoorDataset(
+        root, "infos.pkl", 0, pipeline=eval_pipeline("scannet"), test_mode=True
+    )
+    s0a = ds[0]
+    s0b = ds[0]
+    np.testing.assert_array_equal(s0a["points"], s0b["points"])  # deterministic
+    assert "elastic_coords" not in s0a

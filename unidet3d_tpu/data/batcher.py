@@ -1,0 +1,111 @@
+"""Batch collation: pipeline sample dicts -> padded static-shape arrays +
+host-built rulebooks.
+
+This is the TPU replacement for the reference's Det3DDataPreprocessor +
+in-model collate (unidet3d/data_preprocessor.py, unidet3d.py:136-176): all
+padding/bucketing happens here on host so every device step compiles once.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from ..core.config import ModelConfig
+from ..models.detector import GTBatch, PointBatch
+from ..ops.gridpack import build_gridpack_host, quantize_points
+
+
+def _pad_rows(arr: np.ndarray, n: int, fill=0):
+    out = np.full((n,) + arr.shape[1:], fill, arr.dtype)
+    out[: min(len(arr), n)] = arr[:n]
+    return out
+
+
+def collate(
+    samples: List[dict],
+    cfg: ModelConfig,
+    training: bool = True,
+    build_rulebooks: bool = True,
+) -> Tuple[PointBatch, GTBatch, object]:
+    """Returns (PointBatch, GTBatch, GridPack-or-None) as numpy pytrees."""
+    b = len(samples)
+    p, s, g = cfg.max_points, cfg.max_superpoints, cfg.max_gts
+
+    points = np.zeros((b, p, 3), np.float32)
+    vox_src = np.zeros((b, p, 3), np.float32)
+    features = np.zeros((b, p, 6), np.float32)
+    valid = np.zeros((b, p), bool)
+    sp_ids = np.zeros((b, p), np.int32)
+    ds_ids = np.zeros((b,), np.int32)
+
+    labels = np.zeros((b, g), np.int32)
+    boxes = np.zeros((b, g, 7), np.float32)
+    gt_valid = np.zeros((b, g), bool)
+    sp_masks = np.zeros((b, g, s), bool)
+    inst_ids = np.full((b, p), -1, np.int32)
+
+    for i, sm in enumerate(samples):
+        pts = sm["points"]
+        n = min(len(pts), p)
+        points[i, :n] = pts[:n, :3]
+        valid[i, :n] = True
+        ds_ids[i] = sm["dataset_idx"]
+
+        # Voxel features: [normalized colors, xyz - mean] (ref :160).
+        mean = pts[:n, :3].mean(0) if n else np.zeros(3)
+        features[i, :n, :3] = pts[:n, 3:6]
+        features[i, :n, 3:] = pts[:n, :3] - mean
+
+        if "elastic_coords" in sm:
+            vox_src[i, :n] = sm["elastic_coords"][:n]
+        else:
+            vox_src[i, :n] = pts[:n, :3] / cfg.voxel_size
+
+        sp = sm.get("sp_pts_mask")
+        if sp is not None:
+            # Superpoints beyond capacity S are folded into slot S-1 (rare;
+            # configs size S above observed max superpoint counts).
+            sp_ids[i, :n] = np.minimum(sp[:n], s - 1).astype(np.int32)
+
+        gb = sm.get("gt_bboxes_3d", np.zeros((0, 6), np.float32))
+        gl = sm.get("gt_labels_3d", np.zeros((0,), np.int64))
+        ng = min(len(gb), g)
+        if ng:
+            boxes[i, :ng, : gb.shape[1]] = gb[:ng]
+            labels[i, :ng] = gl[:ng]
+            gt_valid[i, :ng] = True
+        gsm = sm.get("gt_sp_masks")
+        if gsm is not None and gsm.size:
+            sp_masks[i, :ng, : min(gsm.shape[1], s)] = gsm[
+                :ng, : min(gsm.shape[1], s)
+            ]
+        pim = sm.get("pts_instance_mask")
+        if pim is not None:
+            im = pim[:n].astype(np.int32)
+            im = np.where(im >= g, -1, im)  # overflowed GTs dropped
+            inst_ids[i, :n] = im
+
+    batch = PointBatch(
+        points=points,
+        vox_src=vox_src,
+        features=features,
+        valid=valid,
+        sp_ids=sp_ids,
+        dataset_ids=ds_ids,
+    )
+    gt = GTBatch(
+        labels=labels,
+        boxes=boxes,
+        valid=gt_valid,
+        sp_masks=sp_masks,
+        inst_ids=inst_ids,
+    )
+
+    pack = None
+    if build_rulebooks:
+        bxyz = quantize_points(vox_src, valid)
+        pack, _ = build_gridpack_host(
+            bxyz, valid.reshape(-1), list(cfg.level_capacities(b))
+        )
+    return batch, gt, pack

@@ -1,0 +1,83 @@
+"""Training/eval data loaders with background prefetch.
+
+Replaces the reference's torch DataLoader (8 workers, config:588) with a
+thread-pool prefetcher: pipeline + collation + native rulebook build run on
+host threads while the device executes the previous step — the host work is
+fully overlapped, which is the point of the host-rulebook design.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+from ..core.config import ModelConfig
+from .batcher import collate
+from .datasets import ConcatDataset
+
+
+class TrainLoader:
+    """Infinite loader: each batch draws `batch_size` random scenes from the
+    concat dataset (reference semantics: random scene draw per __getitem__)."""
+
+    def __init__(
+        self,
+        dataset: ConcatDataset,
+        cfg: ModelConfig,
+        batch_size: int,
+        seed: int = 0,
+        prefetch: int = 2,
+        num_threads: int = 2,
+    ):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.rng = np.random.RandomState(seed)
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True)
+            for _ in range(num_threads)
+        ]
+        self._lock = threading.Lock()
+        for t in self._threads:
+            t.start()
+
+    def _draw_indices(self):
+        with self._lock:
+            return self.rng.randint(len(self.dataset), size=self.batch_size)
+
+    def _worker(self):
+        while not self._stop.is_set():
+            idxs = self._draw_indices()
+            samples = [self.dataset[i] for i in idxs]
+            batch = collate(samples, self.cfg, training=True)
+            try:
+                self._q.put(batch, timeout=60)
+            except queue.Full:
+                continue
+
+    def __iter__(self) -> Iterator:
+        return self
+
+    def __next__(self):
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+        while not self._q.empty():
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+
+
+def eval_batches(dataset, cfg: ModelConfig):
+    """Sequential bs=1 eval iterator (reference val batch_size=1,
+    config:648). Yields (sample, PointBatch, GTBatch, GridPack)."""
+    for i in range(len(dataset)):
+        sample = dataset[i]
+        batch, gt, pack = collate([sample], cfg, training=False)
+        yield sample, batch, gt, pack

@@ -1,0 +1,95 @@
+"""Per-dataset augmentation pipelines, mirroring the reference config
+(configs/unidet3d_1xb8_...arkitscenes.py:115-560).
+
+Each pipeline is a list of `f(sample, rng=...)` callables. Differences per
+dataset (num_points caps, rot/scale ranges, elastic probability, class
+mapping flavour) follow the reference config exactly.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+from . import transforms as T
+
+VOXEL_SIZE = 0.02
+
+# S3DIS instance classes among the 13 semantic ids (config:234).
+S3DIS_CLASSES = [7, 8, 9, 10, 11]
+SCANNET_NUM_CLASSES = 20
+SCANNET_STUFF = [0, 1]
+
+
+def train_pipeline(dataset: str):
+    if dataset == "scannet":
+        return [
+            T.global_alignment,
+            partial(T.random_flip),
+            partial(
+                T.global_rot_scale_trans,
+                rot_range=(-3.14, 3.14),
+                scale_range=(0.8, 1.2),
+                trans_std=(0.1, 0.1, 0.1),
+            ),
+            T.normalize_color,
+            partial(
+                T.point_det_class_mapping_scannet,
+                num_classes=SCANNET_NUM_CLASSES,
+                stuff_classes=SCANNET_STUFF,
+            ),
+            partial(T.elastic_transform, p=0.5, voxel_size=VOXEL_SIZE),
+        ]
+    if dataset == "s3dis":
+        return [
+            partial(T.point_sample, num_points=180000),
+            partial(T.random_flip),
+            partial(
+                T.global_rot_scale_trans,
+                rot_range=(0.0, 0.0),
+                scale_range=(0.9, 1.1),
+                trans_std=(0.1, 0.1, 0.1),
+            ),
+            partial(T.point_det_class_mapping_s3dis, classes=S3DIS_CLASSES),
+            T.normalize_color,
+            partial(T.elastic_transform, p=-1, voxel_size=VOXEL_SIZE),
+        ]
+    if dataset in ("multiscan", "3rscan", "scannetpp"):
+        cap = {"multiscan": 100000, "3rscan": 100000, "scannetpp": 200000}[
+            dataset
+        ]
+        return [
+            partial(T.point_sample, num_points=cap),
+            partial(T.random_flip),
+            partial(
+                T.global_rot_scale_trans,
+                rot_range=(-3.14, 3.14),
+                scale_range=(0.8, 1.2),
+                trans_std=(0.1, 0.1, 0.1),
+            ),
+            T.normalize_color,
+            partial(T.elastic_transform, p=-1, voxel_size=VOXEL_SIZE),
+        ]
+    if dataset == "arkitscenes":
+        return [
+            T.denormalize_color,
+            partial(T.point_sample, num_points=100000),
+            partial(T.random_flip),
+            partial(
+                T.global_rot_scale_trans,
+                rot_range=(-3.14, 3.14),
+                scale_range=(0.8, 1.2),
+                trans_std=(0.1, 0.1, 0.1),
+            ),
+            T.normalize_color,
+            partial(T.elastic_transform, p=-1, voxel_size=VOXEL_SIZE),
+        ]
+    raise ValueError(dataset)
+
+
+def test_pipeline(dataset: str):
+    pipe = []
+    if dataset == "scannet":
+        pipe.append(T.global_alignment)
+    if dataset == "arkitscenes":
+        pipe.append(T.denormalize_color)
+    pipe.append(T.normalize_color)
+    return pipe
