@@ -38,6 +38,17 @@ def create_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), axis_names=("data",))
 
 
+def replicate(tree, mesh: Mesh):
+    """Place every leaf replicated across the mesh (needed after checkpoint
+    restore, which lands arrays on a single device)."""
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree
+    )
+
+
 def init_state(model, cfg: ModelConfig, optimizer, example_batch, rng):
     rngs = {"params": rng, "queries": jax.random.fold_in(rng, 1)}
     variables = model.init(rngs, example_batch, True)

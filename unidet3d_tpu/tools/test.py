@@ -1,0 +1,68 @@
+"""Evaluation CLI.
+
+Mirror of reference tools/test.py UX:
+  python -m unidet3d_tpu.tools.test <config.py> <checkpoint_dir> [--step N]
+      [--show-dir D] [--cfg-options key=val ...]
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Evaluate a UniDet3D-TPU model")
+    ap.add_argument("config")
+    ap.add_argument("checkpoint", help="checkpoint directory (orbax)")
+    ap.add_argument("--step", type=int, default=None)
+    ap.add_argument("--show-dir", default=None,
+                    help="dump .obj visualisations here")
+    ap.add_argument("--cfg-options", nargs="*", default=[])
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+
+    from ..core.experiment import apply_overrides, load_experiment
+    from ..data.loader import eval_batches  # noqa: F401 (public API)
+    from ..parallel.train_step import init_state
+    from ..train.checkpoint import CheckpointManager
+    from ..train.loop import build_datasets, build_model, evaluate
+    from ..train.optim import make_optimizer
+
+    exp = load_experiment(args.config)
+    exp = apply_overrides(exp, args.cfg_options)
+
+    model, table = build_model(exp)
+    # Build a state template from a minimal batch of the first val dataset.
+    import jax.numpy as jnp
+    from ..data.batcher import collate
+
+    val_sets = build_datasets(exp, "val")
+    assert val_sets, "no validation datasets configured"
+    sample = val_sets[0][0]
+    batch_np, _, _ = collate([sample], exp.model, training=False)
+    ex_batch = jax.tree_util.tree_map(lambda x: jnp.asarray(x[:1]), batch_np)
+    opt = make_optimizer(total_steps=1)
+    state = init_state(model, exp.model, opt, ex_batch, jax.random.PRNGKey(0))
+
+    mngr = CheckpointManager(args.checkpoint)
+    restored = mngr.restore(state, args.step)
+    assert restored is not None, f"no checkpoint found in {args.checkpoint}"
+    from ..parallel.train_step import TrainState
+
+    state = TrainState(*restored)
+
+    results = evaluate(exp, state, model, table)
+    if args.show_dir:
+        logging.info("visualisations not yet dumped in test CLI; see viz/")
+    for name, res in results.items():
+        print(
+            f"{name}: mAP@0.25={res.get('mAP_0.25', 0):.4f} "
+            f"mAP@0.50={res.get('mAP_0.50', 0):.4f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+"""Training + evaluation runners.
+
+Replaces mmengine Runner / EpochBasedTrainLoop / ValLoop / TestLoop
+(reference tools/train.py:121-131, SURVEY.md §3.1): epoch-based training over
+the mixed-dataset loader with DP sharding, periodic checkpointing (keep-16),
+dynamic validation intervals (every 16 epochs, then every epoch for the last
+16 — config:730), and per-dataset mAP evaluation.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.class_table import build_class_table
+from ..core.experiment import ExperimentConfig
+from ..data.batcher import collate
+from ..data.datasets import ConcatDataset, IndoorDataset
+from ..data.loader import TrainLoader
+from ..data.pipelines import test_pipeline, train_pipeline
+from ..models.detector import UniDet3DTPU
+from ..models.postprocess import predict_scene
+from ..parallel.train_step import (
+    TrainState,
+    create_mesh,
+    init_state,
+    make_train_step,
+    replicate,
+)
+from ..train.checkpoint import CheckpointManager, merge_by_prefix, restore_params
+from ..train.metric import IndoorMetric
+from ..train.optim import make_optimizer
+
+log = logging.getLogger("unidet3d_tpu")
+
+
+def build_model(exp: ExperimentConfig):
+    table = build_class_table(exp.datasets_classes)
+    return UniDet3DTPU(cfg=exp.model, table=table), table
+
+
+def build_datasets(exp: ExperimentConfig, split: str):
+    out = []
+    for spec in exp.datasets:
+        ann = spec.ann_train if split == "train" else spec.ann_val
+        if ann is None:
+            continue
+        didx = exp.model.datasets.index(spec.name)
+        pipe = (
+            train_pipeline(spec.name)
+            if split == "train"
+            else test_pipeline(spec.name)
+        )
+        out.append(
+            IndoorDataset(
+                spec.data_root,
+                ann,
+                didx,
+                pipeline=pipe,
+                test_mode=split != "train",
+                partition=spec.partition if split == "train" else 1.0,
+                label_mapping=spec.label_mapping,
+                seed=exp.seed + didx,
+            )
+        )
+    return out
+
+
+def _val_epochs(exp: ExperimentConfig):
+    every = set(range(exp.val_interval_epochs, exp.epochs + 1,
+                      exp.val_interval_epochs))
+    every |= set(range(max(1, exp.epochs - exp.val_last_epochs + 1),
+                       exp.epochs + 1))
+    return every
+
+
+def train(exp: ExperimentConfig, resume: str | None = None):
+    os.makedirs(exp.work_dir, exist_ok=True)
+    model, table = build_model(exp)
+    mesh = create_mesh()
+    n_dev = mesh.devices.size
+    assert exp.batch_size % n_dev == 0, (
+        f"batch_size {exp.batch_size} must divide over {n_dev} devices"
+    )
+    optimizer = make_optimizer(
+        base_lr=exp.lr,
+        weight_decay=exp.weight_decay,
+        total_steps=exp.total_steps,
+        power=exp.lr_power,
+        clip_norm=exp.clip_norm,
+    )
+    train_sets = build_datasets(exp, "train")
+    assert train_sets, "no training datasets configured"
+    loader = TrainLoader(
+        ConcatDataset(train_sets), exp.model, exp.batch_size, seed=exp.seed
+    )
+
+    # Init from one prefetched batch.
+    batch_np, gt_np, pack_np = next(loader)
+    ex_batch = jax.tree_util.tree_map(lambda x: jnp.asarray(x[:1]), batch_np)
+    state = init_state(model, exp.model, optimizer, ex_batch,
+                       jax.random.PRNGKey(exp.seed))
+
+    if exp.load_from:
+        donor = restore_params(exp.load_from, None)
+        state = state._replace(
+            params=merge_by_prefix(state.params, donor, exp.load_prefix)
+        )
+        log.info("initialized %s from %s", exp.load_prefix, exp.load_from)
+
+    mngr = CheckpointManager(
+        os.path.join(exp.work_dir, "checkpoints"), exp.ckpt_max_keep
+    )
+    if resume:
+        step = None if resume == "auto" else int(resume)
+        restored = mngr.restore(state, step)
+        if restored is not None:
+            state = TrainState(*restored)
+            log.info("resumed from step %d", int(state.step))
+    state = replicate(state, mesh)
+
+    step_fn = make_train_step(model, exp.model, optimizer, mesh)
+    val_epochs = _val_epochs(exp)
+    rng = jax.random.PRNGKey(exp.seed + 1)
+
+    start_epoch = int(state.step) // exp.steps_per_epoch
+    for epoch in range(start_epoch + 1, exp.epochs + 1):
+        t0 = time.time()
+        losses = []
+        for _ in range(exp.steps_per_epoch):
+            batch_np, gt_np, pack_np = next(loader)
+            batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
+            gt = jax.tree_util.tree_map(jnp.asarray, gt_np)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, gt, sub)
+            losses.append(metrics["loss"])
+        mean_loss = float(jnp.mean(jnp.stack(losses)))
+        dt = time.time() - t0
+        log.info(
+            "epoch %d/%d loss %.4f (%.1f s, %.2f scenes/s)",
+            epoch, exp.epochs, mean_loss, dt,
+            exp.steps_per_epoch * exp.batch_size / dt,
+        )
+        if epoch % exp.ckpt_interval_epochs == 0:
+            mngr.save(int(state.step), state)
+        if epoch in val_epochs:
+            results = evaluate(exp, state, model, table)
+            for name, res in results.items():
+                log.info(
+                    "[val %s] mAP@0.25 %.4f mAP@0.50 %.4f",
+                    name, res.get("mAP_0.25", 0), res.get("mAP_0.50", 0),
+                )
+    loader.close()
+    mngr.close()
+    return state
+
+
+def evaluate(exp: ExperimentConfig, state, model=None, table=None,
+             logger=None):
+    """Run per-dataset validation (reference TestLoop, SURVEY.md §3.2)."""
+    if model is None:
+        model, table = build_model(exp)
+    cfg = exp.model
+    metric = IndoorMetric(cfg, exp.datasets_classes)
+
+    @jax.jit
+    def fwd(params, batch_stats, batch, pack):
+        out, aux = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch, False, pack
+        )
+        return out.cls_logits[-1], out.boxes[-1], aux.query_valid
+
+    for ds in build_datasets(exp, "val"):
+        didx = ds.dataset_idx
+        for i in range(len(ds)):
+            sample = ds[i]
+            batch_np, gt_np, pack_np = collate([sample], cfg, training=False)
+            batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
+            pack = jax.tree_util.tree_map(jnp.asarray, pack_np)
+            cls_logits, boxes, qvalid = fwd(
+                state.params, state.batch_stats, batch, pack
+            )
+            det = predict_scene(
+                cfg, didx, cls_logits[0], boxes[0], qvalid[0],
+                batch.points[0], batch.valid[0], batch.sp_ids[0],
+            )
+            gt_boxes = sample["gt_bboxes_3d"]
+            if gt_boxes.shape[1] == 6:
+                gt_boxes = np.concatenate(
+                    [gt_boxes, np.zeros((len(gt_boxes), 1), np.float32)], 1
+                )
+            metric.process(
+                didx,
+                np.asarray(det.boxes), np.asarray(det.labels),
+                np.asarray(det.scores), np.asarray(det.valid),
+                gt_boxes, sample["gt_labels_3d"],
+            )
+    return metric.compute(logger=logger if logger is not None else print)
