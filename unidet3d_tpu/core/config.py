@@ -61,6 +61,9 @@ class ModelConfig:
     max_gts: int = 128  # per scene GT cap G
     # Axis name for sync BN / collectives (None = single device).
     axis_name: str | None = None
+    # Backbone compute dtype: 'float32' or 'bfloat16' (bf16 halves the
+    # dominant HBM gather traffic; accumulation stays fp32).
+    compute_dtype: str = "bfloat16"
 
     @property
     def num_datasets(self) -> int:

@@ -129,6 +129,7 @@ class UniDet3DTPU(nn.Module):
         feats = UNetBackbone(
             num_planes=cfg.num_planes,
             axis_name=cfg.axis_name,
+            dtype=jnp.dtype(cfg.compute_dtype),
             name="backbone",
         )(vox_feats, pack, train)
 

@@ -31,16 +31,20 @@ def _kaiming_subm(key, shape, dtype=jnp.float32):
 
 
 class SubmConv(nn.Module):
-    """Submanifold 3x3x3 conv (bias-free), weights (27, Cin, Cout)."""
+    """Submanifold 3x3x3 conv (bias-free), weights (27, Cin, Cout).
+
+    `dtype` is the compute/gather dtype (bf16 halves the dominant HBM gather
+    traffic); accumulation stays fp32 inside subm_conv."""
 
     out_channels: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, neighbors: jnp.ndarray) -> jnp.ndarray:
         w = self.param(
             "kernel", _kaiming_subm, (27, x.shape[-1], self.out_channels)
         )
-        return subm_conv(x, neighbors, w)
+        return subm_conv(x.astype(self.dtype), neighbors, w.astype(self.dtype))
 
 
 class ResidualBlock(nn.Module):
@@ -52,6 +56,7 @@ class ResidualBlock(nn.Module):
 
     out_channels: int
     axis_name: str | None = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, neighbors, train: bool):
@@ -62,18 +67,26 @@ class ResidualBlock(nn.Module):
                 nn.initializers.lecun_uniform(),
                 (x.shape[-1], self.out_channels),
             )
-            identity = jnp.dot(x, wi, preferred_element_type=jnp.float32)
+            identity = jnp.dot(
+                x.astype(self.dtype),
+                wi.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
 
         h = MaskedBatchNorm(x.shape[-1], axis_name=self.axis_name, name="norm1")(
             x, mask, use_running_average=not train
         )
         h = nn.relu(h)
-        h = SubmConv(self.out_channels, name="conv1")(h, neighbors)
+        h = SubmConv(self.out_channels, dtype=self.dtype, name="conv1")(
+            h, neighbors
+        )
         h = MaskedBatchNorm(
             self.out_channels, axis_name=self.axis_name, name="norm2"
         )(h, mask, use_running_average=not train)
         h = nn.relu(h)
-        h = SubmConv(self.out_channels, name="conv2")(h, neighbors)
+        h = SubmConv(self.out_channels, dtype=self.dtype, name="conv2")(
+            h, neighbors
+        )
         return h + identity
 
 
@@ -88,6 +101,7 @@ class SpConvUNet(nn.Module):
     num_planes: Sequence[int]  # e.g. (32, 64, 96, 128, 160)
     block_reps: int = 2
     axis_name: str | None = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pack: GridPack, train: bool):
@@ -104,6 +118,7 @@ class SpConvUNet(nn.Module):
                 x = ResidualBlock(
                     planes[lvl],
                     axis_name=self.axis_name,
+                    dtype=self.dtype,
                     name=f"level{lvl}_block{i}",
                 )(x, mask, nbr, train)
             if lvl < levels - 1:
@@ -120,11 +135,11 @@ class SpConvUNet(nn.Module):
                     (8, planes[lvl], planes[lvl + 1]),
                 )
                 x = strided_conv(
-                    h,
+                    h.astype(self.dtype),
                     pack.parent[lvl],
                     pack.offset_code[lvl],
                     pack.capacity(lvl + 1),
-                    wd,
+                    wd.astype(self.dtype),
                 )
 
         # Up path: inverse conv, concat skip, tail blocks.
@@ -143,7 +158,12 @@ class SpConvUNet(nn.Module):
                 _kaiming_subm,
                 (8, planes[lvl + 1], planes[lvl]),
             )
-            h = inverse_conv(h, pack.parent[lvl], pack.offset_code[lvl], wu)
+            h = inverse_conv(
+                h.astype(self.dtype),
+                pack.parent[lvl],
+                pack.offset_code[lvl],
+                wu.astype(self.dtype),
+            )
             x = jnp.concatenate([skips[lvl], h], axis=-1)
             for i in range(self.block_reps):
                 # First tail block: 2*planes -> planes (reference
@@ -151,6 +171,7 @@ class SpConvUNet(nn.Module):
                 x = ResidualBlock(
                     planes[lvl],
                     axis_name=self.axis_name,
+                    dtype=self.dtype,
                     name=f"level{lvl}_tail{i}",
                 )(x, mask, nbr, train)
         return x
@@ -161,14 +182,18 @@ class UNetBackbone(nn.Module):
 
     num_planes: Sequence[int]
     axis_name: str | None = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, vox_feats: jnp.ndarray, pack: GridPack, train: bool):
-        x = SubmConv(self.num_planes[0], name="input_conv")(
+        x = SubmConv(self.num_planes[0], dtype=self.dtype, name="input_conv")(
             vox_feats, pack.neighbors[0]
         )
         x = SpConvUNet(
-            self.num_planes, axis_name=self.axis_name, name="unet"
+            self.num_planes,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            name="unet",
         )(x, pack, train)
         x = MaskedBatchNorm(
             self.num_planes[0], axis_name=self.axis_name, name="output_norm"

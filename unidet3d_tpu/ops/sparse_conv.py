@@ -86,14 +86,48 @@ def subm_conv(
         (V, Cout) fp32.
     """
     k = weights.shape[0]
-    # Unrolled over the (static, small) kernel-offset axis: 27 gathers each
+    center = k // 2  # (0,0,0) offset in the x-major enumeration
+    # Unrolled over the (static, small) kernel-offset axis: gathers each
     # feeding one MXU matmul; XLA overlaps the gathers with the matmuls.
     # (A lax.scan carry trips shard_map's varying-axis typing; unrolling is
-    # also friendlier to the scheduler.)
-    out = jnp.zeros((features.shape[0], weights.shape[-1]), dtype=jnp.float32)
+    # also friendlier to the scheduler.) The center offset is the identity
+    # for valid rows — matmul directly, no gather. fp32 accumulation.
+    out = jnp.dot(
+        features, weights[center], preferred_element_type=jnp.float32
+    )
     for o in range(k):
+        if o == center:
+            continue
         g = features.at[neighbors[:, o]].get(mode="fill", fill_value=0.0)
         out = out + jnp.dot(g, weights[o], preferred_element_type=jnp.float32)
+    return out
+
+
+def subm_conv_scatter(
+    features: jnp.ndarray, neighbors: jnp.ndarray, weights: jnp.ndarray
+) -> jnp.ndarray:
+    """Scatter-form submanifold conv — algebraic dual of `subm_conv`.
+
+    Because the voxel list is sorted by packed coordinate keys, each kernel
+    offset's neighbor map is a strictly monotonic partial bijection; the
+    gather `out[i] += feat[nbr[i,o]] @ W[o]` is therefore EXACTLY the scatter
+    `out[nbr[j, mirror(o)]] += feat[j] @ W[o]` with mirror(o) = K-1-o (the
+    opposite offset in the x-major enumeration). This form streams `feat`
+    sequentially through the MXU and replaces the (TPU-slow) row gathers
+    with row scatter-adds. Same results, different memory access pattern —
+    pick per backend via ModelConfig.subm_impl.
+    """
+    k = weights.shape[0]
+    center = k // 2
+    out = jnp.dot(
+        features, weights[center], preferred_element_type=jnp.float32
+    )
+    for o in range(k):
+        if o == center:
+            continue
+        tmp = jnp.dot(features, weights[o], preferred_element_type=jnp.float32)
+        tgt = neighbors[:, k - 1 - o]
+        out = out.at[tgt].add(tmp, mode="drop")
     return out
 
 
