@@ -44,6 +44,8 @@ def build_model(exp: ExperimentConfig):
 
 
 def build_datasets(exp: ExperimentConfig, split: str):
+    from ..data.dataset_specs import DEFAULT_LABEL_MAPPINGS
+
     out = []
     for spec in exp.datasets:
         ann = spec.ann_train if split == "train" else spec.ann_val
@@ -55,6 +57,9 @@ def build_datasets(exp: ExperimentConfig, split: str):
             if split == "train"
             else test_pipeline(spec.name)
         )
+        mapping = spec.label_mapping
+        if mapping is None:
+            mapping = DEFAULT_LABEL_MAPPINGS.get(spec.name)
         out.append(
             IndoorDataset(
                 spec.data_root,
@@ -63,7 +68,7 @@ def build_datasets(exp: ExperimentConfig, split: str):
                 pipeline=pipe,
                 test_mode=split != "train",
                 partition=spec.partition if split == "train" else 1.0,
-                label_mapping=spec.label_mapping,
+                label_mapping=mapping,
                 seed=exp.seed + didx,
             )
         )
