@@ -51,7 +51,9 @@ def replicate(tree, mesh: Mesh):
 
 def init_state(model, cfg: ModelConfig, optimizer, example_batch, rng):
     rngs = {"params": rng, "queries": jax.random.fold_in(rng, 1)}
-    variables = model.init(rngs, example_batch, True)
+    # jit the init: eager init would be thousands of device round-trips on
+    # remote-relay platforms.
+    variables = jax.jit(lambda: model.init(rngs, example_batch, True))()
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = optimizer.init(params)
