@@ -52,19 +52,33 @@ def _sanitize_rot_inputs(pred, tgt, rotated):
     return p, t
 
 
-def _pairwise_bbox_cost(boxes_q, boxes_g, rotated):
+def _pairwise_bbox_cost(boxes_q, boxes_g, rotated, chunk: int = 256):
     """(Q, 7) x (G, 7) -> (Q, G) DIoU loss, both aa/rotated branches blended
-    by the per-scene `rotated` flag."""
+    by the per-scene `rotated` flag.
+
+    The rotated branch (24-candidate polygon clip) is chunked over queries —
+    unchunked temporaries are (Q, G, 24, 2) x several, which OOMs at
+    production Q*G."""
     bq = boxes_q[:, None, :]
     bg = boxes_g[None, :, :]
     q, g = boxes_q.shape[0], boxes_g.shape[0]
     bq6 = boxes_to_corner_format(jnp.broadcast_to(bq[..., :6], (q, g, 6)))
     bg6 = boxes_to_corner_format(jnp.broadcast_to(bg[..., :6], (q, g, 6)))
     aa = axis_aligned_diou_loss(bq6, bg6)
-    rp, rt = _sanitize_rot_inputs(
-        jnp.broadcast_to(bq, (q, g, 7)), jnp.broadcast_to(bg, (q, g, 7)), rotated
-    )
-    rot = rotated_diou_3d_loss(rp, rt)
+
+    pad = (-q) % chunk
+    bq_p = jnp.pad(boxes_q, ((0, pad), (0, 0)))
+    blocks = bq_p.reshape(-1, chunk, 7)
+
+    def block_cost(blk):  # (chunk, 7) -> (chunk, G)
+        rp, rt = _sanitize_rot_inputs(
+            jnp.broadcast_to(blk[:, None, :], (chunk, g, 7)),
+            jnp.broadcast_to(bg, (chunk, g, 7)),
+            rotated,
+        )
+        return rotated_diou_3d_loss(rp, rt)
+
+    rot = jax.lax.map(block_cost, blocks).reshape(-1, g)[:q]
     return jnp.where(rotated, rot, aa)
 
 

@@ -127,6 +127,8 @@ class UniDecoder(nn.Module):
     activation: str
     cls_gather: np.ndarray  # (D, NC_MAX + 1) int32, -1 padding
     angles: tuple  # (D,) python bools
+    remat: bool = True  # rematerialise attention/FFN in backward (saves
+    # ~B*H*Q^2 per layer of stored attention weights)
 
     @nn.compact
     def __call__(
@@ -168,15 +170,26 @@ class UniDecoder(nn.Module):
         x = nn.relu(x)
         x = nn.Dense(self.d_model, name="proj_fc2")(x)
 
+        attn_cls = (
+            nn.remat(SelfAttentionLayer, static_argnums=(3,))
+            if (self.remat and train)
+            else SelfAttentionLayer
+        )
+        ffn_cls = (
+            nn.remat(FFN, static_argnums=(2,))
+            if (self.remat and train)
+            else FFN
+        )
+
         cls_list, box_list = [], []
         c, b = head(x)
         cls_list.append(c)
         box_list.append(b)
         for i in range(self.num_layers):
-            x = SelfAttentionLayer(
+            x = attn_cls(
                 self.d_model, self.num_heads, self.dropout, name=f"attn{i}"
             )(x, query_mask, train)
-            x = FFN(
+            x = ffn_cls(
                 self.d_model,
                 self.hidden_dim,
                 self.dropout,
