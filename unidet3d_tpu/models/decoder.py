@@ -40,6 +40,7 @@ class SelfAttentionLayer(nn.Module):
     d_model: int
     num_heads: int
     dropout: float
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, key_mask, train: bool):
@@ -51,8 +52,10 @@ class SelfAttentionLayer(nn.Module):
             out_features=self.d_model,
             dropout_rate=self.dropout,
             deterministic=not train or self.dropout == 0.0,
+            dtype=self.dtype,
             name="attn",
         )(x, x, mask=attn_mask)
+        z = z.astype(jnp.float32)
         if self.dropout > 0.0:
             z = nn.Dropout(self.dropout, deterministic=not train)(z)
         return nn.LayerNorm(name="norm")(z + x)
@@ -65,15 +68,17 @@ class FFN(nn.Module):
     hidden_dim: int
     dropout: float
     activation: str = "gelu"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         act = nn.gelu if self.activation == "gelu" else nn.relu
-        z = nn.Dense(self.hidden_dim, name="fc1")(x)
+        z = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         z = act(z)
         if self.dropout > 0.0:
             z = nn.Dropout(self.dropout, deterministic=not train)(z)
-        z = nn.Dense(self.d_model, name="fc2")(z)
+        z = nn.Dense(self.d_model, dtype=self.dtype, name="fc2")(z)
+        z = z.astype(jnp.float32)
         if self.dropout > 0.0:
             z = nn.Dropout(self.dropout, deterministic=not train)(z)
         return nn.LayerNorm(name="norm")(z + x)
@@ -129,6 +134,7 @@ class UniDecoder(nn.Module):
     angles: tuple  # (D,) python bools
     remat: bool = True  # rematerialise attention/FFN in backward (saves
     # ~B*H*Q^2 per layer of stored attention weights)
+    dtype: jnp.dtype = jnp.float32  # attention/FFN compute dtype
 
     @nn.compact
     def __call__(
@@ -187,13 +193,15 @@ class UniDecoder(nn.Module):
         box_list.append(b)
         for i in range(self.num_layers):
             x = attn_cls(
-                self.d_model, self.num_heads, self.dropout, name=f"attn{i}"
+                self.d_model, self.num_heads, self.dropout, self.dtype,
+                name=f"attn{i}",
             )(x, query_mask, train)
             x = ffn_cls(
                 self.d_model,
                 self.hidden_dim,
                 self.dropout,
                 self.activation,
+                self.dtype,
                 name=f"ffn{i}",
             )(x, train)
             c, b = head(x)

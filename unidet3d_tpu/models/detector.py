@@ -179,6 +179,7 @@ class UniDet3DTPU(nn.Module):
             activation=cfg.activation,
             cls_gather=self.table.gather,
             angles=cfg.angles,
+            dtype=jnp.dtype(cfg.compute_dtype),
             name="decoder",
         )(queries, query_valid, centers, batch.dataset_ids, train)
 
