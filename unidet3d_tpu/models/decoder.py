@@ -34,6 +34,66 @@ class DecoderOutput(NamedTuple):
     boxes: jnp.ndarray
 
 
+class Attention(nn.Module):
+    """Self-attention, parameter-compatible with flax MultiHeadDotProduct-
+    Attention (query/key/value/out DenseGeneral children), with an optional
+    pallas TPU flash-attention execution path that never materialises the
+    (B, H, Q, Q) logits — the decoder's peak-memory hog at Q=2048+."""
+
+    d_model: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+    use_flash: bool = True
+
+    @nn.compact
+    def __call__(self, x, key_mask):
+        import jax
+
+        h = self.num_heads
+        hd = self.d_model // h
+        q = nn.DenseGeneral(features=(h, hd), dtype=self.dtype, name="query")(x)
+        k = nn.DenseGeneral(features=(h, hd), dtype=self.dtype, name="key")(x)
+        v = nn.DenseGeneral(features=(h, hd), dtype=self.dtype, name="value")(x)
+
+        q_len = x.shape[1]
+        flash_ok = (
+            self.use_flash
+            and jax.default_backend() == "tpu"
+            and q_len % 512 == 0
+        )
+        if flash_ok:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds,
+                flash_attention,
+            )
+
+            seg = jnp.where(key_mask, 1, 2).astype(jnp.int32)  # (B, Q)
+            o = flash_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                segment_ids=SegmentIds(q=seg, kv=seg),
+                sm_scale=1.0 / (hd**0.5),
+            ).transpose(0, 2, 1, 3)
+        else:
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) / (hd**0.5)
+            logits = jnp.where(
+                key_mask[:, None, None, :], logits, NEG_INF
+            )
+            weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            o = jnp.einsum(
+                "bhqk,bkhd->bqhd",
+                weights,
+                v,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+        return nn.DenseGeneral(
+            features=self.d_model, axis=(-2, -1), dtype=self.dtype, name="out"
+        )(o)
+
+
 class SelfAttentionLayer(nn.Module):
     """Post-norm MHSA block (reference encoder.py:8-41)."""
 
@@ -41,20 +101,17 @@ class SelfAttentionLayer(nn.Module):
     num_heads: int
     dropout: float
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x, key_mask, train: bool):
-        # key_mask (B, Q) -> attention mask (B, 1, Q, Q) over keys.
-        attn_mask = key_mask[:, None, None, :]
-        z = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads,
-            qkv_features=self.d_model,
-            out_features=self.d_model,
-            dropout_rate=self.dropout,
-            deterministic=not train or self.dropout == 0.0,
+        z = Attention(
+            self.d_model,
+            self.num_heads,
             dtype=self.dtype,
+            use_flash=self.use_flash,
             name="attn",
-        )(x, x, mask=attn_mask)
+        )(x, key_mask)
         z = z.astype(jnp.float32)
         if self.dropout > 0.0:
             z = nn.Dropout(self.dropout, deterministic=not train)(z)
@@ -135,6 +192,7 @@ class UniDecoder(nn.Module):
     remat: bool = True  # rematerialise attention/FFN in backward (saves
     # ~B*H*Q^2 per layer of stored attention weights)
     dtype: jnp.dtype = jnp.float32  # attention/FFN compute dtype
+    use_flash: bool = True  # pallas flash attention on TPU (Q % 512 == 0)
 
     @nn.compact
     def __call__(
@@ -194,7 +252,7 @@ class UniDecoder(nn.Module):
         for i in range(self.num_layers):
             x = attn_cls(
                 self.d_model, self.num_heads, self.dropout, self.dtype,
-                name=f"attn{i}",
+                self.use_flash, name=f"attn{i}",
             )(x, query_mask, train)
             x = ffn_cls(
                 self.d_model,

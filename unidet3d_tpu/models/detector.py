@@ -94,7 +94,11 @@ class UniDet3DTPU(nn.Module):
         cfg = self.cfg
         b, p, _ = batch.points.shape
         s = cfg.max_superpoints
-        q = min(cfg.query_thr, s) if train else s
+        # Query capacity padded to a 512 multiple (flash-attention block
+        # divisibility); real query count stays query_thr — extra slots are
+        # masked invalid.
+        q_real = min(cfg.query_thr, s) if train else s
+        q = min(-(-q_real // 512) * 512, s) if q_real >= 512 else q_real
 
         # --- frame shift + quantization (ref unidet3d.py:157-166,295-304).
         vs = jnp.where(batch.valid[..., None], batch.vox_src, BIG)
@@ -162,7 +166,10 @@ class UniDet3DTPU(nn.Module):
             order = jnp.argsort(noise, axis=1)  # valid superpoints first
             query_sp = order[:, :q]
             n_sp = jnp.sum(sp_valid, axis=1)
-            query_valid = jnp.arange(q)[None, :] < jnp.minimum(n_sp, q)[:, None]
+            query_valid = (
+                jnp.arange(q)[None, :]
+                < jnp.minimum(n_sp, q_real)[:, None]
+            )
         else:
             query_sp = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
             query_valid = sp_valid
