@@ -52,7 +52,7 @@ def _sanitize_rot_inputs(pred, tgt, rotated):
     return p, t
 
 
-def _pairwise_bbox_cost(boxes_q, boxes_g, rotated, chunk: int = 256):
+def _pairwise_bbox_cost(boxes_q, boxes_g, rotated, chunk: int = 128):
     """(Q, 7) x (G, 7) -> (Q, G) DIoU loss, both aa/rotated branches blended
     by the per-scene `rotated` flag.
 

@@ -102,12 +102,19 @@ class SpConvUNet(nn.Module):
     block_reps: int = 2
     axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32
+    remat: bool = True  # rematerialise residual blocks in training backward
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pack: GridPack, train: bool):
         planes = list(self.num_planes)
         levels = len(planes)
         assert pack.num_levels >= levels
+        # ResidualBlock call args: (module, x, mask, neighbors, train).
+        block_cls = (
+            nn.remat(ResidualBlock, static_argnums=(4,))
+            if (self.remat and train)
+            else ResidualBlock
+        )
 
         # Down path: pre-blocks then strided conv.
         skips = []
@@ -115,7 +122,7 @@ class SpConvUNet(nn.Module):
             mask = pack.valid[lvl]
             nbr = pack.neighbors[lvl]
             for i in range(self.block_reps):
-                x = ResidualBlock(
+                x = block_cls(
                     planes[lvl],
                     axis_name=self.axis_name,
                     dtype=self.dtype,
@@ -168,7 +175,7 @@ class SpConvUNet(nn.Module):
             for i in range(self.block_reps):
                 # First tail block: 2*planes -> planes (reference
                 # spconv_unet.py:194-201, num_planes[0]*(2-i)).
-                x = ResidualBlock(
+                x = block_cls(
                     planes[lvl],
                     axis_name=self.axis_name,
                     dtype=self.dtype,

@@ -112,6 +112,7 @@ def make_train_step(model, cfg: ModelConfig, optimizer, mesh: Mesh):
             P(),  # rng replicated (folded per device)
         ),
         out_specs=(P(), P()),
+        check_vma=False,  # pallas flash-attention outputs carry no vma info
     )
     return jax.jit(mapped, donate_argnums=(0,))
 
@@ -138,5 +139,6 @@ def make_eval_step(model, cfg: ModelConfig, mesh: Mesh | None = None):
         # DecoderOutput leaves are (L, B, ...) — batch on dim 1; ForwardAux
         # leaves are (B, ...).
         out_specs=(P(None, "data"), P("data")),
+        check_vma=False,
     )
     return jax.jit(mapped)
