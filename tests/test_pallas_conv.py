@@ -1,0 +1,81 @@
+"""Pallas banded subm conv (interpret mode on CPU) vs the gather form."""
+import numpy as np
+import jax.numpy as jnp
+
+from unidet3d_tpu.ops.pallas_conv import (
+    build_banded_rulebook,
+    subm_conv_pallas,
+)
+from unidet3d_tpu.ops.sparse_conv import build_subm_neighbors, subm_conv
+from unidet3d_tpu.ops.voxelize import voxelize
+
+def _setup(n=900, cap=1024, cin=8, cout=16, extent=14, batch=2, seed=13):
+    rng = np.random.RandomState(seed)
+    bxyz = np.concatenate(
+        [rng.randint(0, batch, (n, 1)), rng.randint(0, extent, (n, 3))],
+        axis=1,
+    ).astype(np.int32)
+    grid, vf = voxelize(
+        jnp.array(bxyz), jnp.ones(n, bool), cap,
+        jnp.array(rng.randn(n, cin).astype(np.float32)),
+    )
+    nbr = np.asarray(build_subm_neighbors(grid))
+    w = rng.randn(27, cin, cout).astype(np.float32)
+    return grid, vf, nbr, w
+
+
+def test_banded_rulebook_build():
+    grid, vf, nbr, w = _setup()
+    rb = build_banded_rulebook(nbr, 1024, block=128, window=512)
+    assert rb.bases.shape == (8, 27)
+    assert rb.rel.shape == (8, 27, 128)
+    # Reconstruct: base + rel == original neighbor where rel >= 0.
+    idx = nbr.reshape(8, 128, 27).transpose(0, 2, 1)
+    recon = rb.bases[:, :, None] + rb.rel
+    ok = rb.rel >= 0
+    np.testing.assert_array_equal(recon[ok], idx[ok])
+    # All misses accounted.
+    valid = idx < 1024
+    assert rb.n_miss == int((valid & ~ok).sum())
+
+
+def test_pallas_conv_matches_gather_form():
+    grid, vf, nbr, w = _setup()
+    rb = build_banded_rulebook(nbr, 1024, block=128, window=1024)
+    assert rb.n_miss == 0  # window covers the whole table here
+    ref = np.asarray(subm_conv(vf, jnp.asarray(nbr), jnp.asarray(w)))
+    out = np.asarray(
+        subm_conv_pallas(
+            vf,
+            jnp.asarray(rb.bases),
+            jnp.asarray(rb.rel),
+            jnp.asarray(w),
+            window=1024,
+            interpret=True,
+        )
+    )
+    nv = int(grid.n_voxels)
+    # bf16 one-hot matmuls: tolerance accordingly.
+    np.testing.assert_allclose(out[:nv], ref[:nv], rtol=5e-2, atol=1e-1)
+
+
+def test_pallas_conv_miss_fallback():
+    grid, vf, nbr, w = _setup()
+    # Tiny window forces misses; fallback must restore exactness.
+    rb = build_banded_rulebook(nbr, 1024, block=128, window=136)
+    assert rb.n_miss > 0
+    ref = np.asarray(subm_conv(vf, jnp.asarray(nbr), jnp.asarray(w)))
+    out = np.asarray(
+        subm_conv_pallas(
+            vf,
+            jnp.asarray(rb.bases),
+            jnp.asarray(rb.rel),
+            jnp.asarray(w),
+            miss_idx=jnp.asarray(rb.miss_idx),
+            n_miss=rb.n_miss,
+            window=136,
+            interpret=True,
+        )
+    )
+    nv = int(grid.n_voxels)
+    np.testing.assert_allclose(out[:nv], ref[:nv], rtol=5e-2, atol=1e-1)
