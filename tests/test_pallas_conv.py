@@ -28,14 +28,14 @@ def test_banded_rulebook_build():
     grid, vf, nbr, w = _setup()
     rb = build_banded_rulebook(nbr, 1024, block=128, window=512)
     assert rb.bases.shape == (8, 27)
-    assert rb.rel.shape == (8, 27, 128)
+    assert rb.rel.shape == (1024, 27)
     # Reconstruct: base + rel == original neighbor where rel >= 0.
-    idx = nbr.reshape(8, 128, 27).transpose(0, 2, 1)
-    recon = rb.bases[:, :, None] + rb.rel
+    bases_per_row = np.repeat(rb.bases, 128, axis=0)  # (V, K)
+    recon = bases_per_row + rb.rel
     ok = rb.rel >= 0
-    np.testing.assert_array_equal(recon[ok], idx[ok])
+    np.testing.assert_array_equal(recon[ok], nbr[ok])
     # All misses accounted.
-    valid = idx < 1024
+    valid = nbr < 1024
     assert rb.n_miss == int((valid & ~ok).sum())
 
 
