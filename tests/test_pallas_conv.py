@@ -28,11 +28,11 @@ def test_banded_rulebook_build():
     grid, vf, nbr, w = _setup()
     rb = build_banded_rulebook(nbr, 1024, block=128, window=512)
     assert rb.bases.shape == (8, 27)
-    assert rb.rel.shape == (1024, 27)
+    assert rb.rel.shape == (27, 1024)
     # Reconstruct: base + rel == original neighbor where rel >= 0.
     bases_per_row = np.repeat(rb.bases, 128, axis=0)  # (V, K)
-    recon = bases_per_row + rb.rel
-    ok = rb.rel >= 0
+    recon = bases_per_row + rb.rel.T
+    ok = rb.rel.T >= 0
     np.testing.assert_array_equal(recon[ok], nbr[ok])
     # All misses accounted.
     valid = nbr < 1024

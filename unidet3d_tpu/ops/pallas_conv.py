@@ -6,15 +6,17 @@ the 26 neighbor gathers per subm conv run ~30x off the HBM roofline
 offset's neighbor map is monotone, so for a block of B consecutive output
 voxels all existing neighbors lie in a narrow source window. The host
 rulebook emits, per (block, offset), the window base (scalar-prefetched) and
-in-window relative indices; the kernel then runs, per (block, offset) grid
-step:
+in-window relative indices; the kernel runs, per block, an unrolled loop over
+the K=27 offsets with double-buffered window DMAs:
 
     window  = DMA  feat[base : base + W]          (contiguous, full HBM BW)
-    onehot  = (rel[:, None] == iota(W))           (VPU, in VMEM)
+    onehot  = (rel == iota(W))                    (VPU, in VMEM)
     acc    += (onehot @ window) @ weights[o]      (two MXU matmuls)
 
-accumulating all K=27 offsets into the same VMEM output block (offset is the
-innermost grid dim). Out-of-window entries are encoded rel = -1 (match
+Mosaic layout notes: dynamic lane-dim indexing is not lowerable, so the
+offset axis is unrolled with one rel input per offset, and every block is
+carried in (8, 64)-tiled form (sublane x lane) — rel blocks are (1, 8, 64),
+outputs (1, 8, 64, C). Out-of-window entries are encoded rel = -1 (match
 nothing); the host counts them (`n_miss`) and the wrapper applies an exact
 XLA-gather correction only when any exist — typically never.
 """
@@ -31,14 +33,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 512
 WINDOW = 1024  # must be >= BLOCK + max in-block drift spread
+_SUB, _LANE = 8, 64  # BLOCK rows are carried as (BLOCK/64, 64) tiles
+assert BLOCK % _LANE == 0
 
 
 class BandedRulebook(NamedTuple):
     """Host-built banded rulebook for one level's subm conv.
 
     bases: (nB, K) int32 window base row per (block, offset).
-    rel: (V, K) int32 in-window relative index, -1 = no contribution.
-    miss_idx: (V, K) int32 original neighbor row for out-of-window entries,
+    rel: (K, V) int32 in-window relative index, -1 = no contribution.
+    miss_idx: (K, V) int32 original neighbor row for out-of-window entries,
         sentinel V for the rest (used by the rare fallback path).
     n_miss: int (python) — total out-of-window entries.
     """
@@ -66,53 +70,79 @@ def build_banded_rulebook(
     bases = np.minimum(bases, max(capacity - 1, 0)).astype(np.int32)
     rel = idx - bases[:, None, :]
     in_win = valid & (rel >= 0) & (rel < window)
-    rel = np.where(in_win, rel, -1).astype(np.int32).reshape(v, k)
+    rel = np.where(in_win, rel, -1).astype(np.int32)
     miss = valid & ~in_win
-    miss_idx = np.where(miss, idx, capacity).astype(np.int32).reshape(v, k)
+    miss_idx = np.where(miss, idx, capacity).astype(np.int32)
+    # (nB, block, K) -> (K, V)
+    rel = np.ascontiguousarray(rel.reshape(v, k).T)
+    miss_idx = np.ascontiguousarray(miss_idx.reshape(v, k).T)
     return BandedRulebook(
         bases=bases, rel=rel, miss_idx=miss_idx, n_miss=int(miss.sum())
     )
 
 
-def _kernel(bases_ref, rel_ref, feat_ref, w_ref, out_ref, win, acc, sem):
-    kb = pl.program_id(0)
-    o = pl.program_id(1)
-    n_off = pl.num_programs(1)
-    block = rel_ref.shape[0]
-    window = win.shape[0]
+def _make_kernel(n_off: int, window: int):
+    def kernel(bases_ref, *refs):
+        # refs: rel_0..rel_{K-1}, feat, weights, out, win(2), acc, sem(2)
+        rels = refs[:n_off]
+        feat_ref = refs[n_off]
+        w_ref = refs[n_off + 1]
+        out_ref = refs[n_off + 2]
+        win = refs[n_off + 3]
+        acc = refs[n_off + 4]
+        sem = refs[n_off + 5]
+        kb = pl.program_id(0)
 
-    base = bases_ref[kb, o]
-    cp = pltpu.make_async_copy(feat_ref.at[pl.ds(base, window)], win, sem)
-    cp.start()
+        def start(o, slot):
+            pltpu.make_async_copy(
+                feat_ref.at[pl.ds(bases_ref[kb, o], window)],
+                win.at[slot],
+                sem.at[slot],
+            ).start()
 
-    @pl.when(o == 0)
-    def _():
+        def wait(o, slot):
+            pltpu.make_async_copy(
+                feat_ref.at[pl.ds(bases_ref[kb, o], window)],
+                win.at[slot],
+                sem.at[slot],
+            ).wait()
+
+        start(0, 0)
         acc[...] = jnp.zeros_like(acc)
+        for o in range(n_off):
+            slot = o % 2
+            if o + 1 < n_off:
+                start(o + 1, (o + 1) % 2)
+            wait(o, slot)
+            rel = rels[o][0]  # (sub, LANE) int32
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (*rel.shape, window), 2
+            )
+            onehot = (rel[:, :, None] == iota).astype(jnp.bfloat16)
+            # (SUB, LANE, W) x (W, C) -> (SUB, LANE, C)
+            g = jax.lax.dot_general(
+                onehot,
+                win[slot].astype(jnp.bfloat16),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc[...] += jax.lax.dot_general(
+                g.astype(jnp.bfloat16),
+                w_ref[o].astype(jnp.bfloat16),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[0] = acc[...]
 
-    cp.wait()
-    rel = rel_ref[:, o]  # (B,)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
-    onehot = (rel[:, None] == iota).astype(jnp.bfloat16)
-    g = jnp.dot(
-        onehot, win[...].astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-    acc[...] += jnp.dot(
-        g.astype(jnp.bfloat16), w_ref[0].astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-
-    @pl.when(o == n_off - 1)
-    def _():
-        out_ref[...] = acc[...]
+    return kernel
 
 
 def subm_conv_pallas(
     features: jnp.ndarray,  # (V, C)
     rulebook_bases: jnp.ndarray,  # (nB, K)
-    rulebook_rel: jnp.ndarray,  # (V, K)
+    rulebook_rel: jnp.ndarray,  # (K, V)
     weights: jnp.ndarray,  # (K, C, Cout)
-    miss_idx: jnp.ndarray | None = None,  # (V, K) or None
+    miss_idx: jnp.ndarray | None = None,  # (K, V) or None
     n_miss: int = 0,
     window: int = WINDOW,
     interpret: bool = False,
@@ -120,37 +150,55 @@ def subm_conv_pallas(
     """Fused banded subm conv. Returns (V, Cout) fp32."""
     v, c = features.shape
     k = weights.shape[0]
-    block = v // rulebook_bases.shape[0]
+    nb = rulebook_bases.shape[0]
+    block = v // nb
+    sub = block // _LANE
     cout = weights.shape[-1]
     feat_pad = jnp.pad(features, ((0, window), (0, 0)))
+    rel_tiled = rulebook_rel.reshape(k, nb, sub, _LANE)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # bases
-        grid=(v // block, k),
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((block, k), lambda kb, o, bases: (kb, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, c, cout), lambda kb, o, bases: (o, 0, 0)),
+            *[
+                pl.BlockSpec(
+                    (1, sub, _LANE),
+                    (lambda kb, bases, _o=o: (kb, 0, 0)),
+                )
+                for o in range(k)
+            ],
+            pl.BlockSpec(memory_space=pl.ANY),  # feat (HBM)
+            # weights fully resident in VMEM (<= 27*160*160*4 = 2.7 MB).
+            pl.BlockSpec((k, c, cout), lambda kb, bases: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((block, cout), lambda kb, o, bases: (kb, 0)),
+        out_specs=pl.BlockSpec(
+            (1, sub, _LANE, cout), lambda kb, bases: (kb, 0, 0, 0)
+        ),
         scratch_shapes=[
-            pltpu.VMEM((window, c), features.dtype),
-            pltpu.VMEM((block, cout), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, window, c), features.dtype),
+            pltpu.VMEM((sub, _LANE, cout), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        _kernel,
+        _make_kernel(k, window),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((v, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, sub, _LANE, cout), jnp.float32),
         interpret=interpret,
-    )(rulebook_bases, rulebook_rel, feat_pad, weights)
+    )(
+        rulebook_bases,
+        *[rel_tiled[o] for o in range(k)],
+        feat_pad,
+        weights,
+    )
+    out = out.reshape(v, cout)
 
     if miss_idx is not None and n_miss > 0:
         # Exact correction for out-of-window entries (rare).
         corr = jnp.zeros_like(out)
         for o in range(k):
-            g = features.at[miss_idx[:, o]].get(mode="fill", fill_value=0.0)
+            g = features.at[miss_idx[o]].get(mode="fill", fill_value=0.0)
             corr = corr + jnp.dot(
                 g, weights[o], preferred_element_type=jnp.float32
             )
