@@ -67,7 +67,8 @@ def build_banded_rulebook(
     big = np.where(valid, idx, np.iinfo(np.int32).max)
     bases = big.min(axis=1)  # (nB, K); INT_MAX when block empty
     bases = np.where(bases == np.iinfo(np.int32).max, 0, bases)
-    bases = np.minimum(bases, max(capacity - 1, 0)).astype(np.int32)
+    bases = np.minimum(bases, max(capacity - 1, 0))
+    bases = (bases - (bases % 8)).astype(np.int32)  # sublane-aligned DMA
     rel = idx - bases[:, None, :]
     in_win = valid & (rel >= 0) & (rel < window)
     rel = np.where(in_win, rel, -1).astype(np.int32)
@@ -81,7 +82,7 @@ def build_banded_rulebook(
     )
 
 
-def _make_kernel(n_off: int, window: int):
+def _make_kernel(n_off: int, window: int, double_buffer: bool = False):
     def kernel(bases_ref, *refs):
         # refs: rel_0..rel_{K-1}, feat, weights, out, win(2), acc, sem(2)
         rels = refs[:n_off]
@@ -107,12 +108,16 @@ def _make_kernel(n_off: int, window: int):
                 sem.at[slot],
             ).wait()
 
-        start(0, 0)
+        if double_buffer:
+            start(0, 0)
         acc[...] = jnp.zeros_like(acc)
         for o in range(n_off):
-            slot = o % 2
-            if o + 1 < n_off:
-                start(o + 1, (o + 1) % 2)
+            slot = (o % 2) if double_buffer else 0
+            if double_buffer:
+                if o + 1 < n_off:
+                    start(o + 1, (o + 1) % 2)
+            else:
+                start(o, 0)
             wait(o, slot)
             rel = rels[o][0]  # (sub, LANE) int32
             iota = jax.lax.broadcasted_iota(
@@ -146,6 +151,7 @@ def subm_conv_pallas(
     n_miss: int = 0,
     window: int = WINDOW,
     interpret: bool = False,
+    double_buffer: bool = False,
 ) -> jnp.ndarray:
     """Fused banded subm conv. Returns (V, Cout) fp32."""
     v, c = features.shape
@@ -154,7 +160,12 @@ def subm_conv_pallas(
     block = v // nb
     sub = block // _LANE
     cout = weights.shape[-1]
-    feat_pad = jnp.pad(features, ((0, window), (0, 0)))
+    # Mosaic window DMAs must cover full 128-lane tiles: pad the channel dim
+    # (zero weight rows keep the math exact).
+    c_pad = -(-c // 128) * 128
+    feat_pad = jnp.pad(features, ((0, window), (0, c_pad - c)))
+    weights_k = jnp.pad(weights, ((0, 0), (0, c_pad - c), (0, 0)))
+    c = c_pad
     rel_tiled = rulebook_rel.reshape(k, nb, sub, _LANE)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -182,7 +193,7 @@ def subm_conv_pallas(
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(k, window),
+        _make_kernel(k, window, double_buffer),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, sub, _LANE, cout), jnp.float32),
         interpret=interpret,
@@ -190,7 +201,7 @@ def subm_conv_pallas(
         rulebook_bases,
         *[rel_tiled[o] for o in range(k)],
         feat_pad,
-        weights,
+        weights_k,
     )
     out = out.reshape(v, cout)
 
