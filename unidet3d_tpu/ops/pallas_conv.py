@@ -82,9 +82,14 @@ def build_banded_rulebook(
     )
 
 
-def _make_kernel(n_off: int, window: int, double_buffer: bool = False):
+def _make_kernel(n_off: int, window: int):
+    """Burst-mode kernel: all K window DMAs for a block are launched at once
+    (one buffer + semaphore per offset), then the compute loop drains them —
+    the per-step DMA latency is fully hidden and each grid step carries
+    K x 2 MXU calls of work."""
+
     def kernel(bases_ref, *refs):
-        # refs: rel_0..rel_{K-1}, feat, weights, out, win(2), acc, sem(2)
+        # refs: rel_0..rel_{K-1}, feat, weights, out, win(K), acc, sem(K)
         rels = refs[:n_off]
         feat_ref = refs[n_off]
         w_ref = refs[n_off + 1]
@@ -94,31 +99,18 @@ def _make_kernel(n_off: int, window: int, double_buffer: bool = False):
         sem = refs[n_off + 5]
         kb = pl.program_id(0)
 
-        def start(o, slot):
-            pltpu.make_async_copy(
+        def dma(o):
+            return pltpu.make_async_copy(
                 feat_ref.at[pl.ds(bases_ref[kb, o], window)],
-                win.at[slot],
-                sem.at[slot],
-            ).start()
+                win.at[o],
+                sem.at[o],
+            )
 
-        def wait(o, slot):
-            pltpu.make_async_copy(
-                feat_ref.at[pl.ds(bases_ref[kb, o], window)],
-                win.at[slot],
-                sem.at[slot],
-            ).wait()
-
-        if double_buffer:
-            start(0, 0)
+        for o in range(n_off):
+            dma(o).start()
         acc[...] = jnp.zeros_like(acc)
         for o in range(n_off):
-            slot = (o % 2) if double_buffer else 0
-            if double_buffer:
-                if o + 1 < n_off:
-                    start(o + 1, (o + 1) % 2)
-            else:
-                start(o, 0)
-            wait(o, slot)
+            dma(o).wait()
             rel = rels[o][0]  # (sub, LANE) int32
             iota = jax.lax.broadcasted_iota(
                 jnp.int32, (*rel.shape, window), 2
@@ -127,7 +119,7 @@ def _make_kernel(n_off: int, window: int, double_buffer: bool = False):
             # (SUB, LANE, W) x (W, C) -> (SUB, LANE, C)
             g = jax.lax.dot_general(
                 onehot,
-                win[slot].astype(jnp.bfloat16),
+                win[o].astype(jnp.bfloat16),
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -151,7 +143,6 @@ def subm_conv_pallas(
     n_miss: int = 0,
     window: int = WINDOW,
     interpret: bool = False,
-    double_buffer: bool = False,
 ) -> jnp.ndarray:
     """Fused banded subm conv. Returns (V, Cout) fp32."""
     v, c = features.shape
@@ -187,13 +178,13 @@ def subm_conv_pallas(
             (1, sub, _LANE, cout), lambda kb, bases: (kb, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, window, c), features.dtype),
+            pltpu.VMEM((k, window, c), features.dtype),
             pltpu.VMEM((sub, _LANE, cout), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((k,)),
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(k, window, double_buffer),
+        _make_kernel(k, window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, sub, _LANE, cout), jnp.float32),
         interpret=interpret,
