@@ -64,6 +64,11 @@ class ModelConfig:
     # Backbone compute dtype: 'float32' or 'bfloat16' (bf16 halves the
     # dominant HBM gather traffic; accumulation stays fp32).
     compute_dtype: str = "bfloat16"
+    # Submanifold conv implementation: 'xla' (gather form) or 'pallas'
+    # (banded fused kernel, requires host-built BandedPack rulebooks).
+    subm_impl: str = "xla"
+    conv_window: int = 512  # pallas conv window (>= block + drift spread)
+    conv_miss_cap: int = 16384  # compact out-of-window correction capacity
 
     @property
     def num_datasets(self) -> int:

@@ -108,4 +108,14 @@ def collate(
         pack, _ = build_gridpack_host(
             bxyz, valid.reshape(-1), list(cfg.level_capacities(b))
         )
+        if cfg.subm_impl == "pallas":
+            from ..ops.gridpack import build_banded_pack
+
+            banded = build_banded_pack(
+                pack,
+                list(cfg.level_capacities(b)),
+                window=cfg.conv_window,
+                miss_cap=cfg.conv_miss_cap,
+            )
+            pack = pack._replace(banded=banded)
     return batch, gt, pack

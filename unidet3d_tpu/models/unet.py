@@ -40,10 +40,29 @@ class SubmConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, neighbors: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, neighbors: jnp.ndarray, banded=None
+    ) -> jnp.ndarray:
         w = self.param(
             "kernel", _kaiming_subm, (27, x.shape[-1], self.out_channels)
         )
+        if banded is not None:
+            import jax
+
+            from ..ops.pallas_conv import (
+                MissList,
+                apply_miss_correction,
+                subm_conv_pallas,
+            )
+
+            bases, rel, mrows, mnbrs, moffs, window = banded
+            out = subm_conv_pallas(
+                x.astype(self.dtype), bases, rel, w, window=window,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return apply_miss_correction(
+                out, x, w, MissList(rows=mrows, nbrs=mnbrs, offs=moffs)
+            )
         return subm_conv(x.astype(self.dtype), neighbors, w.astype(self.dtype))
 
 
@@ -59,7 +78,7 @@ class ResidualBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, neighbors, train: bool):
+    def __call__(self, x, mask, neighbors, train: bool, banded=None):
         identity = x
         if x.shape[-1] != self.out_channels:
             wi = self.param(
@@ -78,14 +97,14 @@ class ResidualBlock(nn.Module):
         )
         h = nn.relu(h)
         h = SubmConv(self.out_channels, dtype=self.dtype, name="conv1")(
-            h, neighbors
+            h, neighbors, banded
         )
         h = MaskedBatchNorm(
             self.out_channels, axis_name=self.axis_name, name="norm2"
         )(h, mask, use_running_average=not train)
         h = nn.relu(h)
         h = SubmConv(self.out_channels, dtype=self.dtype, name="conv2")(
-            h, neighbors
+            h, neighbors, banded
         )
         return h + identity
 
@@ -103,18 +122,28 @@ class SpConvUNet(nn.Module):
     axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32
     remat: bool = True  # rematerialise residual blocks in training backward
+    conv_window: int = 512  # pallas conv window (when pack.banded given)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pack: GridPack, train: bool):
         planes = list(self.num_planes)
         levels = len(planes)
         assert pack.num_levels >= levels
-        # ResidualBlock call args: (module, x, mask, neighbors, train).
+        # ResidualBlock call args: (module, x, mask, neighbors, train, banded).
         block_cls = (
             nn.remat(ResidualBlock, static_argnums=(4,))
             if (self.remat and train)
             else ResidualBlock
         )
+
+        def level_banded(lvl):
+            b = pack.banded
+            if b is None:
+                return None
+            return (
+                b.bases[lvl], b.rel[lvl], b.miss_rows[lvl],
+                b.miss_nbrs[lvl], b.miss_offs[lvl], self.conv_window,
+            )
 
         # Down path: pre-blocks then strided conv.
         skips = []
@@ -127,7 +156,7 @@ class SpConvUNet(nn.Module):
                     axis_name=self.axis_name,
                     dtype=self.dtype,
                     name=f"level{lvl}_block{i}",
-                )(x, mask, nbr, train)
+                )(x, mask, nbr, train, level_banded(lvl))
             if lvl < levels - 1:
                 skips.append(x)
                 h = MaskedBatchNorm(
@@ -180,7 +209,7 @@ class SpConvUNet(nn.Module):
                     axis_name=self.axis_name,
                     dtype=self.dtype,
                     name=f"level{lvl}_tail{i}",
-                )(x, mask, nbr, train)
+                )(x, mask, nbr, train, level_banded(lvl))
         return x
 
 
@@ -190,16 +219,25 @@ class UNetBackbone(nn.Module):
     num_planes: Sequence[int]
     axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32
+    conv_window: int = 512
 
     @nn.compact
     def __call__(self, vox_feats: jnp.ndarray, pack: GridPack, train: bool):
+        b0 = None
+        if pack.banded is not None:
+            bd = pack.banded
+            b0 = (
+                bd.bases[0], bd.rel[0], bd.miss_rows[0], bd.miss_nbrs[0],
+                bd.miss_offs[0], self.conv_window,
+            )
         x = SubmConv(self.num_planes[0], dtype=self.dtype, name="input_conv")(
-            vox_feats, pack.neighbors[0]
+            vox_feats, pack.neighbors[0], b0
         )
         x = SpConvUNet(
             self.num_planes,
             axis_name=self.axis_name,
             dtype=self.dtype,
+            conv_window=self.conv_window,
             name="unet",
         )(x, pack, train)
         x = MaskedBatchNorm(

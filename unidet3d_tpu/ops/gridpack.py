@@ -31,6 +31,7 @@ class GridPack(NamedTuple):
     parent: tuple  # per transition: (V_l,) int32
     offset_code: tuple  # per transition: (V_l,) int32
     point_inverse: object  # (N,) int32
+    banded: object = None  # BandedPack for the pallas conv path, or None
 
     @property
     def num_levels(self) -> int:
@@ -228,4 +229,47 @@ def quantize_points(vox_src: np.ndarray, valid: np.ndarray) -> np.ndarray:
     bidx = np.repeat(np.arange(b, dtype=np.int32)[:, None], p, axis=1)
     return np.concatenate(
         [bidx.reshape(-1, 1), icoords.reshape(-1, 3)], axis=1
+    )
+
+
+class BandedPack(NamedTuple):
+    """Per-level banded rulebooks for the pallas subm conv (see
+    ops/pallas_conv.py). All leaves are arrays (pytree-safe):
+    bases[l]: (nB_l, 27); rel[l]: (27, V_l);
+    miss_rows/miss_nbrs/miss_offs[l]: (M,) compact out-of-window lists."""
+
+    bases: tuple
+    rel: tuple
+    miss_rows: tuple
+    miss_nbrs: tuple
+    miss_offs: tuple
+
+
+def build_banded_pack(
+    pack: GridPack,
+    capacities,
+    block: int = 512,
+    window: int = 512,
+    miss_cap: int = 16384,
+) -> BandedPack:
+    """Host-side: convert every level's neighbor table to banded form."""
+    from .pallas_conv import build_banded_rulebook, build_miss_list
+
+    bases, rel, mr, mn, mo = [], [], [], [], []
+    for lvl, cap in enumerate(capacities):
+        nbr = np.asarray(pack.neighbors[lvl])
+        b = min(block, cap)
+        rb = build_banded_rulebook(nbr, cap, block=b, window=window)
+        ml = build_miss_list(rb.miss_idx, cap, miss_cap)
+        bases.append(rb.bases)
+        rel.append(rb.rel)
+        mr.append(ml.rows)
+        mn.append(ml.nbrs)
+        mo.append(ml.offs)
+    return BandedPack(
+        bases=tuple(bases),
+        rel=tuple(rel),
+        miss_rows=tuple(mr),
+        miss_nbrs=tuple(mn),
+        miss_offs=tuple(mo),
     )

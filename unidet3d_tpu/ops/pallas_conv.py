@@ -68,7 +68,8 @@ def build_banded_rulebook(
     bases = big.min(axis=1)  # (nB, K); INT_MAX when block empty
     bases = np.where(bases == np.iinfo(np.int32).max, 0, bases)
     bases = np.minimum(bases, max(capacity - 1, 0))
-    bases = (bases - (bases % 8)).astype(np.int32)  # sublane-aligned DMA
+    bases = (bases - (bases % 16)).astype(np.int32)  # sublane-aligned DMA
+    # (16 covers bf16 (16,128) tiling; f32 (8,128) needs only 8.)
     rel = idx - bases[:, None, :]
     in_win = valid & (rel >= 0) & (rel < window)
     rel = np.where(in_win, rel, -1).astype(np.int32)
@@ -100,8 +101,9 @@ def _make_kernel(n_off: int, window: int):
         kb = pl.program_id(0)
 
         def dma(o):
+            base = pl.multiple_of(bases_ref[kb, o], 16)  # host 16-aligns bases
             return pltpu.make_async_copy(
-                feat_ref.at[pl.ds(bases_ref[kb, o], window)],
+                feat_ref.at[pl.ds(base, window)],
                 win.at[o],
                 sem.at[o],
             )
@@ -206,3 +208,55 @@ def subm_conv_pallas(
             )
         out = out + corr
     return out
+
+
+class MissList(NamedTuple):
+    """Compacted out-of-window entries (static capacity M, sentinel-padded).
+
+    rows/nbrs/offs: (M,) int32 — output row, source row, kernel offset.
+    """
+
+    rows: np.ndarray
+    nbrs: np.ndarray
+    offs: np.ndarray
+
+
+def build_miss_list(
+    miss_idx: np.ndarray, capacity: int, miss_cap: int
+) -> MissList:
+    """(K, V) miss table -> compact (M,) lists. Entries beyond miss_cap are
+    dropped (host logs); size miss_cap generously."""
+    offs, rows = np.nonzero(miss_idx < capacity)
+    nbrs = miss_idx[offs, rows]
+    n = len(rows)
+    if n > miss_cap:
+        import logging
+
+        logging.getLogger("unidet3d_tpu").warning(
+            "miss list overflow: %d > %d — widen the conv window", n, miss_cap
+        )
+        rows, nbrs, offs = rows[:miss_cap], nbrs[:miss_cap], offs[:miss_cap]
+
+    def pad(a, fill):
+        out = np.full(miss_cap, fill, np.int32)
+        out[: len(a)] = a
+        return out
+
+    return MissList(
+        rows=pad(rows, 2**30), nbrs=pad(nbrs, 2**30), offs=pad(offs, 0)
+    )
+
+
+def apply_miss_correction(
+    out: jnp.ndarray,  # (V, Cout)
+    features: jnp.ndarray,  # (V, C)
+    weights: jnp.ndarray,  # (K, C, Cout)
+    miss: MissList,
+) -> jnp.ndarray:
+    """out[rows[m]] += feat[nbrs[m]] @ W[offs[m]] for the compact miss list."""
+    g = features.at[miss.nbrs].get(mode="fill", fill_value=0.0)  # (M, C)
+    w_sel = weights[miss.offs]  # (M, C, Cout)
+    contrib = jnp.einsum(
+        "mc,mco->mo", g, w_sel, preferred_element_type=jnp.float32
+    )
+    return out.at[miss.rows].add(contrib, mode="drop")
