@@ -253,10 +253,18 @@ def apply_miss_correction(
     weights: jnp.ndarray,  # (K, C, Cout)
     miss: MissList,
 ) -> jnp.ndarray:
-    """out[rows[m]] += feat[nbrs[m]] @ W[offs[m]] for the compact miss list."""
+    """out[rows[m]] += feat[nbrs[m]] @ W[offs[m]] for the compact miss list.
+
+    Per-offset masked matmuls — gathering W[offs] would materialise an
+    (M, C, Cout) tensor per conv, which dwarfs the correction itself."""
     g = features.at[miss.nbrs].get(mode="fill", fill_value=0.0)  # (M, C)
-    w_sel = weights[miss.offs]  # (M, C, Cout)
-    contrib = jnp.einsum(
-        "mc,mco->mo", g, w_sel, preferred_element_type=jnp.float32
-    )
+    k = weights.shape[0]
+    contrib = jnp.zeros((g.shape[0], weights.shape[-1]), jnp.float32)
+    for o in range(k):
+        sel = (miss.offs == o)[:, None]
+        contrib = contrib + jnp.dot(
+            jnp.where(sel, g, 0.0),
+            weights[o],
+            preferred_element_type=jnp.float32,
+        )
     return out.at[miss.rows].add(contrib, mode="drop")
