@@ -21,29 +21,36 @@ def get_config() -> ExperimentConfig:
                 ann_val="s3dis_infos_Area_5.pkl",
                 partition=0.33,
             ),
+            # Partitions mirror the reference joint config (config:607-640):
+            # s3dis 0.33 (per area), multiscan 0.25, 3rscan 0.15,
+            # scannetpp 0.33, arkitscenes 0.08.
             DatasetSpec(
                 name="multiscan",
                 data_root="data/multiscan",
                 ann_train="multiscan_infos_train.pkl",
                 ann_val="multiscan_infos_val.pkl",
+                partition=0.25,
             ),
             DatasetSpec(
                 name="3rscan",
                 data_root="data/3rscan",
                 ann_train="3rscan_infos_train.pkl",
                 ann_val="3rscan_infos_val.pkl",
+                partition=0.15,
             ),
             DatasetSpec(
                 name="scannetpp",
                 data_root="data/scannetpp",
                 ann_train="scannetpp_infos_train.pkl",
                 ann_val="scannetpp_infos_val.pkl",
+                partition=0.33,
             ),
             DatasetSpec(
                 name="arkitscenes",
                 data_root="data/arkitscenes",
                 ann_train="arkitscenes_infos_train.pkl",
                 ann_val="arkitscenes_infos_val.pkl",
+                partition=0.08,
             ),
         ),
         batch_size=8,

@@ -164,3 +164,99 @@ def test_test_pipeline_no_aug(tmp_path):
     s0b = ds[0]
     np.testing.assert_array_equal(s0a["points"], s0b["points"])  # deterministic
     assert "elastic_coords" not in s0a
+
+
+# Reference config values (configs/unidet3d_1xb8_..._arkitscenes.py):
+# rot/scale: scannet :139-141, s3dis :229-231, multiscan :312-314,
+# 3rscan :386-388, scannetpp :461-463, arkitscenes :539-541.
+# train caps: s3dis :221, multiscan :304, 3rscan :378, scannetpp :453,
+# arkitscenes :524. test caps: :275, :348, :422, :497, :572.
+# partitions: :607-640.
+REF_AUG = {
+    "scannet": dict(rot=(-3.14, 3.14), scale=(0.8, 1.2), cap=None),
+    "s3dis": dict(rot=(0.0, 0.0), scale=(0.9, 1.1), cap=180000),
+    "multiscan": dict(rot=(0.0, 0.0), scale=(0.9, 1.1), cap=100000),
+    "3rscan": dict(rot=(0.0, 0.0), scale=(0.9, 1.1), cap=100000),
+    "scannetpp": dict(rot=(0.0, 0.0), scale=(0.9, 1.1), cap=200000),
+    "arkitscenes": dict(rot=(-0.5, 0.5), scale=(0.9, 1.1), cap=100000),
+}
+REF_TEST_CAPS = {
+    "s3dis": 180000,
+    "multiscan": 100000,
+    "3rscan": 100000,
+    "scannetpp": 200000,
+    "arkitscenes": 100000,
+}
+REF_PARTITIONS = {
+    "s3dis": 0.33,
+    "multiscan": 0.25,
+    "3rscan": 0.15,
+    "scannetpp": 0.33,
+    "arkitscenes": 0.08,
+}
+
+
+def _pipeline_params(pipe):
+    """Extract (rot_range, scale_range, num_points) from a pipeline's
+    functools.partial stages."""
+    import functools
+
+    rot = scale = cap = None
+    for stage in pipe:
+        if not isinstance(stage, functools.partial):
+            continue
+        kw = stage.keywords or {}
+        if stage.func is T.global_rot_scale_trans:
+            rot, scale = kw["rot_range"], kw["scale_range"]
+        if stage.func is T.point_sample:
+            cap = kw["num_points"]
+    return rot, scale, cap
+
+
+@pytest.mark.parametrize("name", sorted(REF_AUG))
+def test_train_aug_params_match_reference(name):
+    rot, scale, cap = _pipeline_params(train_pipeline(name))
+    ref = REF_AUG[name]
+    assert tuple(rot) == ref["rot"], f"{name}: rot_range {rot} != {ref['rot']}"
+    assert tuple(scale) == ref["scale"]
+    assert cap == ref["cap"]
+
+
+@pytest.mark.parametrize("name", sorted(REF_TEST_CAPS) + ["scannet"])
+def test_test_point_caps_match_reference(name):
+    _, _, cap = _pipeline_params(eval_pipeline(name))
+    assert cap == REF_TEST_CAPS.get(name), (
+        f"{name}: test-time PointSample_ cap {cap} != reference"
+    )
+
+
+def test_joint_config_partitions_match_reference():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "unidet3d_joint",
+        os.path.join(os.path.dirname(__file__), "..", "configs",
+                     "unidet3d_joint.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    exp = mod.get_config()
+    parts = {d.name: d.partition for d in exp.datasets}
+    assert parts["scannet"] in (None, 1.0)
+    for name, want in REF_PARTITIONS.items():
+        assert parts[name] == pytest.approx(want), (name, parts[name], want)
+
+
+def test_collate_random_subsample_not_prefix(tmp_path):
+    """Overflowing scenes must be randomly subsampled, not first-N cut."""
+    from tests.test_detector import small_config
+
+    cfg = small_config(max_points=256, voxel_capacity=256, max_superpoints=16)
+    n = 1024
+    pts = np.zeros((n, 6), np.float32)
+    pts[:, 0] = np.arange(n)  # x strictly increasing: prefix cut -> max < 256
+    sm = {"points": pts, "dataset_idx": 0}
+    batch, _, _ = collate([sm], cfg, build_rulebooks=False)
+    xs = np.asarray(batch.points)[0, :, 0]
+    assert xs.max() > 512, "collate truncated to the first-N prefix"
+    assert len(np.unique(xs)) == 256  # without replacement

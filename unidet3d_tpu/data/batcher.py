@@ -27,8 +27,15 @@ def collate(
     cfg: ModelConfig,
     training: bool = True,
     build_rulebooks: bool = True,
+    rng: np.random.RandomState | None = None,
 ) -> Tuple[PointBatch, GTBatch, object]:
-    """Returns (PointBatch, GTBatch, GridPack-or-None) as numpy pytrees."""
+    """Returns (PointBatch, GTBatch, GridPack-or-None) as numpy pytrees.
+
+    Scenes whose point count exceeds cfg.max_points are subsampled uniformly
+    at random (not first-N truncated — a prefix cut is spatially biased and
+    diverges from the reference's PointSample_ semantics,
+    ref transforms_3d.py:231-295)."""
+    rng = rng or np.random.RandomState(0)
     b = len(samples)
     p, s, g = cfg.max_points, cfg.max_superpoints, cfg.max_gts
 
@@ -48,25 +55,29 @@ def collate(
     for i, sm in enumerate(samples):
         pts = sm["points"]
         n = min(len(pts), p)
-        points[i, :n] = pts[:n, :3]
+        if len(pts) > p:
+            sel = np.sort(rng.choice(len(pts), p, replace=False))
+        else:
+            sel = np.arange(n)
+        points[i, :n] = pts[sel, :3]
         valid[i, :n] = True
         ds_ids[i] = sm["dataset_idx"]
 
         # Voxel features: [normalized colors, xyz - mean] (ref :160).
-        mean = pts[:n, :3].mean(0) if n else np.zeros(3)
-        features[i, :n, :3] = pts[:n, 3:6]
-        features[i, :n, 3:] = pts[:n, :3] - mean
+        mean = pts[sel, :3].mean(0) if n else np.zeros(3)
+        features[i, :n, :3] = pts[sel, 3:6]
+        features[i, :n, 3:] = pts[sel, :3] - mean
 
         if "elastic_coords" in sm:
-            vox_src[i, :n] = sm["elastic_coords"][:n]
+            vox_src[i, :n] = sm["elastic_coords"][sel]
         else:
-            vox_src[i, :n] = pts[:n, :3] / cfg.voxel_size
+            vox_src[i, :n] = pts[sel, :3] / cfg.voxel_size
 
         sp = sm.get("sp_pts_mask")
         if sp is not None:
             # Superpoints beyond capacity S are folded into slot S-1 (rare;
             # configs size S above observed max superpoint counts).
-            sp_ids[i, :n] = np.minimum(sp[:n], s - 1).astype(np.int32)
+            sp_ids[i, :n] = np.minimum(sp[sel], s - 1).astype(np.int32)
 
         gb = sm.get("gt_bboxes_3d", np.zeros((0, 6), np.float32))
         gl = sm.get("gt_labels_3d", np.zeros((0,), np.int64))
@@ -82,7 +93,7 @@ def collate(
             ]
         pim = sm.get("pts_instance_mask")
         if pim is not None:
-            im = pim[:n].astype(np.int32)
+            im = pim[sel].astype(np.int32)
             im = np.where(im >= g, -1, im)  # overflowed GTs dropped
             inst_ids[i, :n] = im
 

@@ -53,6 +53,9 @@ def train_pipeline(dataset: str):
             partial(T.elastic_transform, p=-1, voxel_size=VOXEL_SIZE),
         ]
     if dataset in ("multiscan", "3rscan", "scannetpp"):
+        # These datasets ship precomputed (axis-aligned) GT boxes; the
+        # reference therefore disables rotation and narrows scaling
+        # (config:312-314, 386-388, 461-463).
         cap = {"multiscan": 100000, "3rscan": 100000, "scannetpp": 200000}[
             dataset
         ]
@@ -61,22 +64,23 @@ def train_pipeline(dataset: str):
             partial(T.random_flip),
             partial(
                 T.global_rot_scale_trans,
-                rot_range=(-3.14, 3.14),
-                scale_range=(0.8, 1.2),
+                rot_range=(0.0, 0.0),
+                scale_range=(0.9, 1.1),
                 trans_std=(0.1, 0.1, 0.1),
             ),
             T.normalize_color,
             partial(T.elastic_transform, p=-1, voxel_size=VOXEL_SIZE),
         ]
     if dataset == "arkitscenes":
+        # 7-DoF yawed boxes: small rotation allowed (config:539-541).
         return [
             T.denormalize_color,
             partial(T.point_sample, num_points=100000),
             partial(T.random_flip),
             partial(
                 T.global_rot_scale_trans,
-                rot_range=(-3.14, 3.14),
-                scale_range=(0.8, 1.2),
+                rot_range=(-0.5, 0.5),
+                scale_range=(0.9, 1.1),
                 trans_std=(0.1, 0.1, 0.1),
             ),
             T.normalize_color,
@@ -85,11 +89,26 @@ def train_pipeline(dataset: str):
     raise ValueError(dataset)
 
 
+# Reference test-time point caps (config:275, 348, 422, 497, 572).
+# ScanNet has no test-time sampling in the reference.
+TEST_NUM_POINTS = {
+    "s3dis": 180000,
+    "multiscan": 100000,
+    "3rscan": 100000,
+    "scannetpp": 200000,
+    "arkitscenes": 100000,
+}
+
+
 def test_pipeline(dataset: str):
     pipe = []
     if dataset == "scannet":
         pipe.append(T.global_alignment)
     if dataset == "arkitscenes":
         pipe.append(T.denormalize_color)
+    if dataset in TEST_NUM_POINTS:
+        pipe.append(
+            partial(T.point_sample, num_points=TEST_NUM_POINTS[dataset])
+        )
     pipe.append(T.normalize_color)
     return pipe
