@@ -11,7 +11,7 @@ import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __graft_entry__ as ge
 from unidet3d_tpu.core.config import default_config
-from unidet3d_tpu.ops.gridpack import build_gridpack_host, quantize_points
+from unidet3d_tpu.data.batcher import build_packs
 from unidet3d_tpu.parallel.train_step import (
     create_mesh,
     init_state,
@@ -20,24 +20,26 @@ from unidet3d_tpu.parallel.train_step import (
 from unidet3d_tpu.train.optim import make_optimizer
 
 
-def main():
+def main(subm_impl: str = "xla"):
     cfg = default_config(
         axis_name="data",
         max_points=65536,
-        voxel_capacity=262144,
+        voxel_capacity=65536,  # per scene (covers max_points exactly)
         max_superpoints=2048,
         max_gts=64,
+        subm_impl=subm_impl,
     )
     model = ge._build(cfg)
     mesh = create_mesh(1)
     opt = make_optimizer(total_steps=100)
     batch, gt = ge._synthetic_inputs(cfg, b=8)
     t0 = time.perf_counter()
-    pack_np, _ = build_gridpack_host(
-        quantize_points(np.asarray(batch.vox_src), np.asarray(batch.valid)),
-        np.asarray(batch.valid).reshape(-1),
-        list(cfg.level_capacities(8)),
+    pack_np = build_packs(
+        np.asarray(batch.vox_src), np.asarray(batch.valid), cfg, n_shards=1
     )
+    # Single-device mesh still uses the stacked transport form (n_shards
+    # leading dim == mesh size).
+    pack = jax.tree_util.tree_map(lambda x: np.asarray(x)[None], pack_np)
     print(f"host rulebooks: {time.perf_counter()-t0:.2f} s", flush=True)
 
     t0 = time.perf_counter()
@@ -51,7 +53,7 @@ def main():
     print(f"init: {time.perf_counter()-t0:.1f} s", flush=True)
     step = make_train_step(model, cfg, opt, mesh)
     t0 = time.perf_counter()
-    state, m = step(state, batch, gt, jax.random.PRNGKey(1))
+    state, m = step(state, batch, gt, pack, jax.random.PRNGKey(1))
     print(
         f"first step (compile): {time.perf_counter()-t0:.1f} s "
         f"loss {float(m['loss']):.4f}",
@@ -60,11 +62,11 @@ def main():
     for _ in range(2):
         t0 = time.perf_counter()
         for _ in range(3):
-            state, m = step(state, batch, gt, jax.random.PRNGKey(2))
+            state, m = step(state, batch, gt, pack, jax.random.PRNGKey(2))
             _ = float(m["loss"])
         dt = (time.perf_counter() - t0) / 3
         print(f"train step: {dt*1000:.1f} ms -> {8/dt:.2f} scenes/s", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else "xla")

@@ -14,6 +14,11 @@ from unidet3d_tpu.tools.convert_checkpoint import (
 )
 
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
+
 def _make_reference_state_dict(planes, d_model, heads, layers, n_cls, cin=6):
     """Synthetic torch state dict with the reference model's exact key set."""
     sd = {}

@@ -13,6 +13,11 @@ from unidet3d_tpu.data.pipelines import train_pipeline
 from unidet3d_tpu.data.pipelines import test_pipeline as eval_pipeline
 
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
+
 def make_fake_scene(root, name, n=2000, n_inst=3, n_sp=30, seed=0, yaw=False):
     rng = np.random.RandomState(seed)
     os.makedirs(os.path.join(root, "points"), exist_ok=True)

@@ -17,6 +17,11 @@ from unidet3d_tpu.models.postprocess import predict_scene
 RNG = np.random.RandomState(3)
 
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
+
 def small_config(**kw):
     base = dict(
         num_planes=(8, 16, 24, 32),

@@ -12,6 +12,11 @@ from unidet3d_tpu.ops.voxelize import voxelize
 RNG = np.random.RandomState(7)
 
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
+
 def _make_grid(n=200, extent=16, batch=2, capacity=256):
     coords = RNG.randint(0, extent, size=(n, 3))
     b = RNG.randint(0, batch, size=(n, 1))

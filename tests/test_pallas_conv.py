@@ -79,3 +79,56 @@ def test_pallas_conv_miss_fallback():
     )
     nv = int(grid.n_voxels)
     np.testing.assert_allclose(out[:nv], ref[:nv], rtol=5e-2, atol=1e-1)
+
+
+def test_banded_conv_custom_vjp_matches_xla_grads():
+    """Value + grads of the differentiable banded conv (interpret mode) vs
+    the XLA gather form, including out-of-window miss entries.
+
+    Inputs are small integers and the loss is linear, so every product is
+    exact in bf16 and any mismatch is a logic bug, not kernel rounding."""
+    import jax
+    from unidet3d_tpu.ops.pallas_conv import build_miss_list, subm_conv_banded
+
+    rng = np.random.RandomState(7)
+    grid, _, nbr, _ = _setup()
+    cap, cin, cout = 1024, 8, 16
+    vf = jnp.asarray(rng.randint(-3, 4, (cap, cin)).astype(np.float32))
+    w = rng.randint(-2, 3, (27, cin, cout)).astype(np.float32)
+    # Narrow window on purpose so the miss path is exercised in both fwd
+    # and bwd.
+    rb = build_banded_rulebook(nbr, cap, block=128, window=128)
+    assert rb.n_miss > 0
+    ml = build_miss_list(rb.miss_idx, cap, miss_cap=4096)
+    nbr_j = jnp.asarray(nbr)
+    w_j = jnp.asarray(w)
+    nv = int(grid.n_voxels)
+    mask = (np.arange(cap) < nv)[:, None]
+    gdir = jnp.asarray(
+        rng.randint(-2, 3, (cap, cout)).astype(np.float32)
+    ) * mask
+
+    def loss_ref(feat, weights):
+        return jnp.sum(subm_conv(feat, nbr_j, weights) * gdir)
+
+    def loss_banded(feat, weights):
+        out = subm_conv_banded(
+            128, True, feat, weights,
+            jnp.asarray(rb.bases), jnp.asarray(rb.rel),
+            jnp.asarray(ml.rows), jnp.asarray(ml.nbrs), jnp.asarray(ml.offs),
+        )
+        return jnp.sum(out * gdir)
+
+    v_ref, (gf_ref, gw_ref) = jax.value_and_grad(loss_ref, argnums=(0, 1))(
+        vf, w_j
+    )
+    v_b, (gf_b, gw_b) = jax.value_and_grad(loss_banded, argnums=(0, 1))(
+        vf, w_j
+    )
+    np.testing.assert_allclose(float(v_b), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gf_b)[:nv], np.asarray(gf_ref)[:nv], atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(gw_b), np.asarray(gw_ref), atol=1e-3
+    )

@@ -13,6 +13,11 @@ from unidet3d_tpu.data.datasets import IndoorDataset
 from unidet3d_tpu.data.pipelines import train_pipeline
 
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
+
 def test_pallas_model_path_matches_xla(tmp_path):
     root = str(tmp_path / "scannet")
     write_fake_dataset(root)
@@ -50,3 +55,56 @@ def test_pallas_model_path_matches_xla(tmp_path):
         rtol=2e-2,
         atol=2e-2,
     )
+
+
+def test_pallas_train_grads_match_xla(tmp_path):
+    """detection_loss grads through the banded custom-VJP path vs the XLA
+    gather path on a real pipeline batch (fp32, interpret mode)."""
+    from unidet3d_tpu.models.detector import detection_loss
+
+    root = str(tmp_path / "scannet")
+    write_fake_dataset(root)
+    cfg = small_config(
+        max_points=2048,
+        voxel_capacity=2048,
+        max_superpoints=64,
+        num_planes=(8, 16),
+        compute_dtype="float32",
+        subm_impl="pallas",
+        conv_window=256,
+        conv_miss_cap=4096,
+    )
+    ds = IndoorDataset(
+        root, "infos.pkl", 0, pipeline=train_pipeline("scannet"), seed=1
+    )
+    samples = [ds[0], ds[1]]
+    batch_np, gt_np, pack_np = collate(samples, cfg, training=True)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
+    gt = jax.tree_util.tree_map(jnp.asarray, gt_np)
+    pack = jax.tree_util.tree_map(jnp.asarray, pack_np)
+    pack_xla = pack._replace(banded=None)
+
+    model, _ = _build(cfg)
+    rngs = {"params": jax.random.PRNGKey(0), "queries": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, batch, True, pack_xla)
+
+    def loss_fn(params, p):
+        (out, aux), _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch, True, p,
+            rngs={"queries": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"],
+        )
+        return detection_loss(cfg, out, aux, batch, gt)
+
+    l_xla, g_xla = jax.value_and_grad(loss_fn)(variables["params"], pack_xla)
+    l_pal, g_pal = jax.value_and_grad(loss_fn)(variables["params"], pack)
+    np.testing.assert_allclose(float(l_pal), float(l_xla), rtol=1e-2)
+    flat_x, _ = jax.tree_util.tree_flatten(g_xla)
+    flat_p, _ = jax.tree_util.tree_flatten(g_pal)
+    # bf16 one-hot matmuls inside the kernel: tolerate small relative noise
+    # but require every leaf to be close in a scale-aware sense.
+    for a, b in zip(flat_p, flat_x):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-2)

@@ -16,6 +16,11 @@ from unidet3d_tpu.core.experiment import (
 from unidet3d_tpu.train.loop import evaluate, train
 
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
+
 def _experiment(tmp_path):
     root = str(tmp_path / "scannet")
     write_fake_dataset(root, n_scenes=3)

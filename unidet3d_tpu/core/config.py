@@ -56,7 +56,7 @@ class ModelConfig:
     iou_thr: Tuple[float, ...] = (0.5, 0.55, 0.55, 0.55, 0.55, 0.55)
     # Static capacities (TPU padding buckets).
     max_points: int = 131072  # per scene point cap P
-    voxel_capacity: int = 131072  # level-0 voxel cap (per LOCAL batch)
+    voxel_capacity: int = 131072  # level-0 voxel cap PER SCENE
     max_superpoints: int = 3072  # per scene superpoint cap S
     max_gts: int = 128  # per scene GT cap G
     # Axis name for sync BN / collectives (None = single device).
@@ -75,11 +75,16 @@ class ModelConfig:
         return len(self.datasets)
 
     def level_capacities(self, batch_size: int) -> Tuple[int, ...]:
-        """Voxel capacity per U-Net level; halves per level with a floor."""
+        """Voxel capacity per U-Net level for a batch of `batch_size` scenes.
+
+        voxel_capacity is PER SCENE (so capacities — and therefore pack
+        shapes and dropping behaviour — scale with the local batch size,
+        keeping per-shard DP packs exactly equivalent to a single flat
+        batch pack); each level halves with a per-scene floor of 1024."""
         caps = [self.voxel_capacity]
         for _ in range(len(self.num_planes) - 1):
             caps.append(max(caps[-1] // 2, 1024))
-        return tuple(caps)
+        return tuple(c * batch_size for c in caps)
 
 
 # Reference class lists (config:5-26).

@@ -28,6 +28,7 @@ def collate(
     training: bool = True,
     build_rulebooks: bool = True,
     rng: np.random.RandomState | None = None,
+    n_shards: int = 1,
 ) -> Tuple[PointBatch, GTBatch, object]:
     """Returns (PointBatch, GTBatch, GridPack-or-None) as numpy pytrees.
 
@@ -115,18 +116,48 @@ def collate(
 
     pack = None
     if build_rulebooks:
-        bxyz = quantize_points(vox_src, valid)
-        pack, _ = build_gridpack_host(
-            bxyz, valid.reshape(-1), list(cfg.level_capacities(b))
-        )
-        if cfg.subm_impl == "pallas":
-            from ..ops.gridpack import build_banded_pack
-
-            banded = build_banded_pack(
-                pack,
-                list(cfg.level_capacities(b)),
-                window=cfg.conv_window,
-                miss_cap=cfg.conv_miss_cap,
-            )
-            pack = pack._replace(banded=banded)
+        pack = build_packs(vox_src, valid, cfg, n_shards)
     return batch, gt, pack
+
+
+def _build_one_pack(vox_src, valid, cfg: ModelConfig):
+    """GridPack (+ BandedPack when subm_impl='pallas') for one scene group."""
+    b = vox_src.shape[0]
+    caps = list(cfg.level_capacities(b))
+    bxyz = quantize_points(vox_src, valid)
+    pack, _ = build_gridpack_host(bxyz, valid.reshape(-1), caps)
+    if cfg.subm_impl == "pallas":
+        from ..ops.gridpack import build_banded_pack
+
+        banded = build_banded_pack(
+            pack, caps, window=cfg.conv_window, miss_cap=cfg.conv_miss_cap
+        )
+        pack = pack._replace(banded=banded)
+    return pack
+
+
+def build_packs(vox_src, valid, cfg: ModelConfig, n_shards: int = 1):
+    """Host rulebooks for a (B, P, ...) batch.
+
+    n_shards == 1: a flat GridPack over the whole batch (single-device /
+    eval form, consumed directly by the model).
+    n_shards > 1: the DP transport form — one GridPack per contiguous group
+    of B/n_shards scenes, with indices local to the group, stacked on a new
+    leading axis that shard_map shards with P('data'). Each device unwraps
+    its slice and feeds the flat pack to the local model, so rulebook
+    indices never cross device boundaries.
+    """
+    b = vox_src.shape[0]
+    if n_shards == 1:
+        return _build_one_pack(vox_src, valid, cfg)
+    assert b % n_shards == 0, (b, n_shards)
+    bl = b // n_shards
+    packs = [
+        _build_one_pack(
+            vox_src[i * bl : (i + 1) * bl], valid[i * bl : (i + 1) * bl], cfg
+        )
+        for i in range(n_shards)
+    ]
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *packs)

@@ -12,6 +12,7 @@ import threading
 from typing import Iterator
 
 import numpy as np
+from jax.tree_util import tree_map as _tree_map
 
 from ..core.config import ModelConfig
 from .batcher import collate
@@ -30,10 +31,12 @@ class TrainLoader:
         seed: int = 0,
         prefetch: int = 2,
         num_threads: int = 2,
+        n_shards: int = 1,
     ):
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = batch_size
+        self.n_shards = n_shards
         self.rng = np.random.RandomState(seed)
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
@@ -53,7 +56,14 @@ class TrainLoader:
         while not self._stop.is_set():
             idxs = self._draw_indices()
             samples = [self.dataset[i] for i in idxs]
-            batch = collate(samples, self.cfg, training=True)
+            batch, gt, pack = collate(
+                samples, self.cfg, training=True, n_shards=self.n_shards
+            )
+            if self.n_shards == 1 and pack is not None:
+                # Normalise to the train-step transport form (leading dim
+                # == mesh size; see parallel.train_step.make_train_step).
+                pack = _tree_map(lambda x: x[None], pack)
+            batch = (batch, gt, pack)
             try:
                 self._q.put(batch, timeout=60)
             except queue.Full:

@@ -194,10 +194,30 @@ def criterion(
     dataset_weights: jnp.ndarray,  # (B,)
     loss_weight=(0.5, 1.0),
     non_object_weight: float = 0.1,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
-    """Total detection loss over all decoder layers (criterion.py:145-178)."""
+    """Total detection loss over all decoder layers (criterion.py:145-178).
+
+    Under shard_map DP (`axis_name` bound), the scenes-with-pairs
+    normalisation is computed over the GLOBAL batch via psum so the loss —
+    and, combined with the outer grad pmean, the gradients — are exactly
+    invariant to the mesh size: N devices x B/N scenes reproduces the
+    reference's single-process batch-B semantics bit-for-bit (modulo fp
+    reorder). Each local term is scaled by axis size so pmean recovers the
+    global scene-mean."""
     num_layers = cls_logits.shape[0]
     per_scene = jax.vmap(layer_loss_scene, in_axes=(0, 0, 0, 0, 0, 0, None))
+
+    def _global_sum(x):
+        if axis_name is None:
+            return x
+        try:
+            return jax.lax.psum(x, axis_name)
+        except NameError:  # axis unbound: unmapped call (tests, init)
+            return x
+
+    # Mesh size (1 when unmapped).
+    n_dev = _global_sum(jnp.ones((), jnp.float32))
 
     total = 0.0
     for layer in range(num_layers):
@@ -212,11 +232,16 @@ def criterion(
         )
         cls_loss = jnp.mean(dataset_weights * cls_l)
         # Scene-mean over scenes that have matched pairs (reference skips
-        # scenes with no gts/matches, criterion.py:114).
+        # scenes with no gts/matches, criterion.py:114), over the GLOBAL
+        # batch. local = n_dev * local_sum / global_count, so that
+        # pmean(local) == global_sum / global_count.
         has_pairs = n_pairs > 0
         scene_bbox = dataset_weights * bbox_sum / jnp.maximum(n_pairs, 1)
-        bbox_loss = jnp.sum(jnp.where(has_pairs, scene_bbox, 0.0)) / jnp.maximum(
-            jnp.sum(has_pairs), 1
+        global_has = _global_sum(jnp.sum(has_pairs.astype(jnp.float32)))
+        bbox_loss = (
+            n_dev
+            * jnp.sum(jnp.where(has_pairs, scene_bbox, 0.0))
+            / jnp.maximum(global_has, 1)
         )
         total = total + loss_weight[0] * cls_loss + loss_weight[1] * bbox_loss
     return total

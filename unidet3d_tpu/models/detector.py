@@ -31,6 +31,17 @@ from .unet import UNetBackbone
 BIG = 1e9
 
 
+def _axis_index_or_zero(axis_name):
+    """lax.axis_index when running under shard_map/pmap over `axis_name`,
+    else 0 (single-device jit / eager)."""
+    if axis_name is None:
+        return jnp.zeros((), jnp.int32)
+    try:
+        return jax.lax.axis_index(axis_name)
+    except NameError:
+        return jnp.zeros((), jnp.int32)
+
+
 class PointBatch(NamedTuple):
     """Padded input batch (host-side pipeline output).
 
@@ -162,7 +173,17 @@ class UniDet3DTPU(nn.Module):
         # --- query selection (ref :182-218).
         if train:
             rng = self.make_rng("queries")
-            noise = jax.random.uniform(rng, (b, s))
+            # Fold per GLOBAL scene index so the random query subsets are
+            # invariant to the mesh size: DP over N devices draws exactly
+            # the same subsets as a single-device run on the same global
+            # batch (makes DP-vs-single grad equality exactly testable).
+            scene_ids = _axis_index_or_zero(cfg.axis_name) * b + jnp.arange(b)
+            keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+                rng, scene_ids
+            )
+            noise = jax.vmap(
+                lambda k: jax.random.uniform(k, (s,))
+            )(keys)
             noise = jnp.where(sp_valid, noise, BIG)
             order = jnp.argsort(noise, axis=1)  # valid superpoints first
             query_sp = order[:, :q]
@@ -311,4 +332,5 @@ def detection_loss(
         weights,
         loss_weight=cfg.loss_weight,
         non_object_weight=cfg.non_object_weight,
+        axis_name=cfg.axis_name,
     )

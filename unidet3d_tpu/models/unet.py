@@ -38,6 +38,8 @@ class SubmConv(nn.Module):
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    conv_window: int = 512  # static: pallas window (must NOT ride in the
+    # banded tuple — remat would turn it into a tracer)
 
     @nn.compact
     def __call__(
@@ -49,19 +51,15 @@ class SubmConv(nn.Module):
         if banded is not None:
             import jax
 
-            from ..ops.pallas_conv import (
-                MissList,
-                apply_miss_correction,
-                subm_conv_pallas,
-            )
+            from ..ops.pallas_conv import subm_conv_banded
 
-            bases, rel, mrows, mnbrs, moffs, window = banded
-            out = subm_conv_pallas(
-                x.astype(self.dtype), bases, rel, w, window=window,
-                interpret=jax.default_backend() != "tpu",
-            )
-            return apply_miss_correction(
-                out, x, w, MissList(rows=mrows, nbrs=mnbrs, offs=moffs)
+            bases, rel, mrows, mnbrs, moffs = banded
+            # Differentiable fused kernel (custom VJP) — forward AND backward
+            # run banded pallas, no XLA row gathers in training.
+            return subm_conv_banded(
+                self.conv_window, jax.default_backend() != "tpu",
+                x.astype(self.dtype), w,
+                bases, rel, mrows, mnbrs, moffs,
             )
         return subm_conv(x.astype(self.dtype), neighbors, w.astype(self.dtype))
 
@@ -76,6 +74,7 @@ class ResidualBlock(nn.Module):
     out_channels: int
     axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32
+    conv_window: int = 512
 
     @nn.compact
     def __call__(self, x, mask, neighbors, train: bool, banded=None):
@@ -96,14 +95,16 @@ class ResidualBlock(nn.Module):
             x, mask, use_running_average=not train
         )
         h = nn.relu(h)
-        h = SubmConv(self.out_channels, dtype=self.dtype, name="conv1")(
+        h = SubmConv(self.out_channels, dtype=self.dtype,
+                     conv_window=self.conv_window, name="conv1")(
             h, neighbors, banded
         )
         h = MaskedBatchNorm(
             self.out_channels, axis_name=self.axis_name, name="norm2"
         )(h, mask, use_running_average=not train)
         h = nn.relu(h)
-        h = SubmConv(self.out_channels, dtype=self.dtype, name="conv2")(
+        h = SubmConv(self.out_channels, dtype=self.dtype,
+                     conv_window=self.conv_window, name="conv2")(
             h, neighbors, banded
         )
         return h + identity
@@ -142,7 +143,7 @@ class SpConvUNet(nn.Module):
                 return None
             return (
                 b.bases[lvl], b.rel[lvl], b.miss_rows[lvl],
-                b.miss_nbrs[lvl], b.miss_offs[lvl], self.conv_window,
+                b.miss_nbrs[lvl], b.miss_offs[lvl],
             )
 
         # Down path: pre-blocks then strided conv.
@@ -155,6 +156,7 @@ class SpConvUNet(nn.Module):
                     planes[lvl],
                     axis_name=self.axis_name,
                     dtype=self.dtype,
+                    conv_window=self.conv_window,
                     name=f"level{lvl}_block{i}",
                 )(x, mask, nbr, train, level_banded(lvl))
             if lvl < levels - 1:
@@ -208,6 +210,7 @@ class SpConvUNet(nn.Module):
                     planes[lvl],
                     axis_name=self.axis_name,
                     dtype=self.dtype,
+                    conv_window=self.conv_window,
                     name=f"level{lvl}_tail{i}",
                 )(x, mask, nbr, train, level_banded(lvl))
         return x
@@ -228,9 +231,10 @@ class UNetBackbone(nn.Module):
             bd = pack.banded
             b0 = (
                 bd.bases[0], bd.rel[0], bd.miss_rows[0], bd.miss_nbrs[0],
-                bd.miss_offs[0], self.conv_window,
+                bd.miss_offs[0],
             )
-        x = SubmConv(self.num_planes[0], dtype=self.dtype, name="input_conv")(
+        x = SubmConv(self.num_planes[0], dtype=self.dtype,
+                     conv_window=self.conv_window, name="input_conv")(
             vox_feats, pack.neighbors[0], b0
         )
         x = SpConvUNet(

@@ -14,7 +14,17 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "segmentator.cc")
-_LIB = os.path.join(_DIR, "libunidet3d_segmentator.so")
+def _src_tag() -> str:
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
+
+
+# Cache keyed on the SOURCE HASH (not mtime): a stale or foreign-host binary
+# (-march=native!) is never loaded — any source change or fresh checkout
+# recompiles into a new filename.
+_LIB = os.path.join(_DIR, f"libunidet3d_segmentator.{_src_tag()}.so")
 
 _lib = None
 _tried = False
@@ -26,9 +36,7 @@ def _load():
         return _lib
     _tried = True
     try:
-        if (not os.path.exists(_LIB)) or (
-            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
-        ):
+        if not os.path.exists(_LIB):
             subprocess.run(
                 [
                     "g++", "-O3", "-shared", "-fPIC", "-std=c++17",

@@ -83,7 +83,7 @@ def build_banded_rulebook(
     )
 
 
-def _make_kernel(n_off: int, window: int):
+def _make_kernel(n_off: int, window: int, dtype=jnp.bfloat16):
     """Burst-mode kernel: all K window DMAs for a block are launched at once
     (one buffer + semaphore per offset), then the compute loop drains them —
     the per-step DMA latency is fully hidden and each grid step carries
@@ -117,17 +117,17 @@ def _make_kernel(n_off: int, window: int):
             iota = jax.lax.broadcasted_iota(
                 jnp.int32, (*rel.shape, window), 2
             )
-            onehot = (rel[:, :, None] == iota).astype(jnp.bfloat16)
+            onehot = (rel[:, :, None] == iota).astype(dtype)
             # (SUB, LANE, W) x (W, C) -> (SUB, LANE, C)
             g = jax.lax.dot_general(
                 onehot,
-                win[o].astype(jnp.bfloat16),
+                win[o].astype(dtype),
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             acc[...] += jax.lax.dot_general(
-                g.astype(jnp.bfloat16),
-                w_ref[o].astype(jnp.bfloat16),
+                g.astype(dtype),
+                w_ref[o].astype(dtype),
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -185,8 +185,13 @@ def subm_conv_pallas(
             pltpu.SemaphoreType.DMA((k,)),
         ],
     )
+    # Kernel matmul dtype follows the features dtype: bf16 in production,
+    # f32 for exact-parity tests / fp32 configs.
+    kdtype = (
+        jnp.float32 if features.dtype == jnp.float32 else jnp.bfloat16
+    )
     out = pl.pallas_call(
-        _make_kernel(k, window),
+        _make_kernel(k, window, kdtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, sub, _LANE, cout), jnp.float32),
         interpret=interpret,
@@ -208,6 +213,115 @@ def subm_conv_pallas(
             )
         out = out + corr
     return out
+
+
+def _make_dw_kernel(window: int, n_blocks: int, dtype=jnp.bfloat16):
+    """Weight-gradient kernel. Grid (K, nB) — offset-major so each offset's
+    dW block is revisited across consecutive steps and accumulates in VMEM:
+
+        s     = onehot^T @ g_block        (W, Cout)   MXU
+        dW[o] += window^T @ s             (C, Cout)   MXU
+
+    Window DMAs are double-buffered across the inner (block) grid dim."""
+
+    def kernel(bases_ref, rel_ref, g_ref, feat_ref, dw_ref, win, sem):
+        o = pl.program_id(0)
+        kb = pl.program_id(1)
+
+        def dma(block_idx, slot):
+            base = pl.multiple_of(bases_ref[block_idx, o], 16)
+            return pltpu.make_async_copy(
+                feat_ref.at[pl.ds(base, window)],
+                win.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(kb == 0)
+        def _():
+            dma(0, 0).start()
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+
+        @pl.when(kb + 1 < n_blocks)
+        def _():
+            dma(kb + 1, (kb + 1) % 2).start()
+
+        dma(kb, kb % 2).wait()
+        rel = rel_ref[0, 0]  # (SUB, LANE) int32
+        iota = jax.lax.broadcasted_iota(jnp.int32, (*rel.shape, window), 2)
+        onehot = (rel[:, :, None] == iota).astype(dtype)
+        g = g_ref[0]  # (SUB, LANE, Cout)
+        # (SUB, LANE, W) x (SUB, LANE, Cout) -> (W, Cout)
+        s = jax.lax.dot_general(
+            onehot,
+            g.astype(dtype),
+            dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # (W, C) x (W, Cout) -> (C, Cout)
+        dw_ref[0] += jax.lax.dot_general(
+            win[kb % 2].astype(dtype),
+            s.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return kernel
+
+
+def subm_conv_dw_pallas(
+    features: jnp.ndarray,  # (V, C)
+    grad_out: jnp.ndarray,  # (V, Cout)
+    rulebook_bases: jnp.ndarray,  # (nB, K)
+    rulebook_rel: jnp.ndarray,  # (K, V)
+    k: int,
+    window: int = WINDOW,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Banded weight gradient: dW[o] = sum_i feat[nbr(i,o)]^T grad[i].
+    Returns (K, C, Cout) fp32 (un-padded)."""
+    v, c = features.shape
+    cout = grad_out.shape[-1]
+    nb = rulebook_bases.shape[0]
+    block = v // nb
+    sub = block // _LANE
+    c_pad = -(-c // 128) * 128
+    cout_pad = -(-cout // 128) * 128
+    feat_pad = jnp.pad(features, ((0, window), (0, c_pad - c)))
+    g_tiled = jnp.pad(grad_out, ((0, 0), (0, cout_pad - cout))).reshape(
+        nb, sub, _LANE, cout_pad
+    )
+    rel_tiled = rulebook_rel.reshape(k, nb, sub, _LANE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # bases
+        grid=(k, nb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, sub, _LANE), lambda o, kb, bases: (o, kb, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, sub, _LANE, cout_pad), lambda o, kb, bases: (kb, 0, 0, 0)
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # feat (HBM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c_pad, cout_pad), lambda o, kb, bases: (o, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, window, c_pad), features.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kdtype = (
+        jnp.float32 if features.dtype == jnp.float32 else jnp.bfloat16
+    )
+    dw = pl.pallas_call(
+        _make_dw_kernel(window, nb, kdtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, c_pad, cout_pad), jnp.float32),
+        interpret=interpret,
+    )(rulebook_bases, rel_tiled, g_tiled, feat_pad)
+    return dw[:, :c, :cout]
 
 
 class MissList(NamedTuple):
@@ -268,3 +382,93 @@ def apply_miss_correction(
             preferred_element_type=jnp.float32,
         )
     return out.at[miss.rows].add(contrib, mode="drop")
+
+
+def _miss_dw(
+    features: jnp.ndarray,  # (V, C)
+    grad_out: jnp.ndarray,  # (V, Cout)
+    miss: MissList,
+    k: int,
+) -> jnp.ndarray:
+    """Weight-grad contribution of the compact miss list:
+    dW[offs[m]] += feat[nbrs[m]]^T grad[rows[m]]. Returns (K, C, Cout)."""
+    f = features.at[miss.nbrs].get(mode="fill", fill_value=0.0)  # (M, C)
+    g = grad_out.at[miss.rows].get(mode="fill", fill_value=0.0)  # (M, Cout)
+    dws = []
+    for o in range(k):
+        sel = (miss.offs == o)[:, None]
+        dws.append(
+            jnp.dot(
+                jnp.where(sel, f, 0.0).T, g,
+                preferred_element_type=jnp.float32,
+            )
+        )
+    return jnp.stack(dws)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable fused banded conv (production training path).
+# ---------------------------------------------------------------------------
+
+
+def _banded_fwd_impl(window, interpret, features, weights, bases, rel,
+                     mrows, mnbrs, moffs):
+    out = subm_conv_pallas(
+        features, bases, rel, weights, window=window, interpret=interpret
+    )
+    return apply_miss_correction(
+        out, features, weights, MissList(rows=mrows, nbrs=mnbrs, offs=moffs)
+    )
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def subm_conv_banded(window, interpret, features, weights, bases, rel,
+                     mrows, mnbrs, moffs):
+    """Fused banded subm conv with a custom VJP (banded backward on both
+    sides — no XLA row gathers anywhere in the training step).
+
+    d/dfeat: the mirrored conv — the full pair set of a subm conv is
+    symmetric (pair (i, j, o) <-> (j, i, K-1-o), the verified scatter dual,
+    sparse_conv.subm_conv_scatter), so dfeat = banded_conv(g, W') with
+    W'[o] = W[K-1-o]^T, evaluated banded + exact miss correction.
+    d/dW: per (block, offset) two MXU matmuls, onehot^T @ g then
+    window^T @ (.), accumulated across blocks (subm_conv_dw_pallas), plus
+    the compact miss-list term."""
+    return _banded_fwd_impl(window, interpret, features, weights, bases, rel,
+                            mrows, mnbrs, moffs)
+
+
+def _banded_conv_fwd(window, interpret, features, weights, bases, rel,
+                     mrows, mnbrs, moffs):
+    out = _banded_fwd_impl(window, interpret, features, weights, bases, rel,
+                           mrows, mnbrs, moffs)
+    return out, (features, weights, bases, rel, mrows, mnbrs, moffs)
+
+
+def _banded_conv_bwd(window, interpret, res, g):
+    features, weights, bases, rel, mrows, mnbrs, moffs = res
+    miss = MissList(rows=mrows, nbrs=mnbrs, offs=moffs)
+    k = weights.shape[0]
+
+    # dfeat: mirrored conv on the cotangent.
+    w_prime = jnp.swapaxes(weights[::-1], 1, 2)  # (K, Cout, C)
+    g_c = g.astype(features.dtype)
+    dfeat = subm_conv_pallas(
+        g_c, bases, rel, w_prime, window=window, interpret=interpret
+    )
+    dfeat = apply_miss_correction(dfeat, g_c, w_prime, miss)
+    dfeat = dfeat.astype(features.dtype)
+
+    # dW: banded kernel + miss term.
+    dw = subm_conv_dw_pallas(
+        features, g, bases, rel, k, window=window, interpret=interpret
+    )
+    dw = dw + _miss_dw(features, g, miss, k)
+    dw = dw.astype(weights.dtype)
+    return (dfeat, dw, None, None, None, None, None)
+
+
+subm_conv_banded.defvjp(_banded_conv_fwd, _banded_conv_bwd)

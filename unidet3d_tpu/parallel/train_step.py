@@ -60,25 +60,40 @@ def init_state(model, cfg: ModelConfig, optimizer, example_batch, rng):
     return TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
 
 
-def make_train_step(model, cfg: ModelConfig, optimizer, mesh: Mesh):
-    """Build the jitted DP train step: (state, batch, gt, rng) -> (state, metrics).
+def make_train_step(
+    model, cfg: ModelConfig, optimizer, mesh: Mesh, with_grads: bool = False
+):
+    """Build the jitted DP train step:
+    (state, batch, gt, packs, rng) -> (state, metrics).
 
-    `batch`/`gt` leading (global batch) dim must be divisible by the mesh size;
-    state is replicated, data sharded over `data`.
+    `batch`/`gt` leading (global batch) dim must be divisible by the mesh
+    size; state is replicated, data sharded over `data`. `packs` is the
+    host-built rulebook transport form (data.batcher.build_packs with
+    n_shards = mesh size): leading dim = mesh size, each slice a flat
+    GridPack local to that device's scenes — the production path; device-side
+    rulebook rebuild (the slow lexsort fallback) is never traced here.
     """
     assert cfg.axis_name == "data", (
         "multi-device training requires cfg.axis_name='data' so BN moments "
         "sync across the mesh"
     )
 
-    def local_step(state: TrainState, batch: PointBatch, gt: GTBatch, rng):
-        my = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+    def local_step(
+        state: TrainState, batch: PointBatch, gt: GTBatch, packs, rng
+    ):
+        # The model folds the query rng per GLOBAL scene (detector.py query
+        # selection), so the same replicated key gives every device distinct,
+        # mesh-size-invariant subsets — no per-device fold here.
+        my = rng
+        # Unwrap this device's (1, ...) slice of the stacked packs.
+        pack = jax.tree_util.tree_map(lambda x: x[0], packs)
 
         def loss_fn(params):
             (out, aux), mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch,
                 True,
+                pack,
                 rngs={"queries": my},
                 mutable=["batch_stats"],
             )
@@ -100,7 +115,10 @@ def make_train_step(model, cfg: ModelConfig, optimizer, mesh: Mesh):
         new_state = TrainState(
             new_params, new_bs, new_opt, state.step + 1
         )
-        return new_state, {"loss": loss, "grad_norm": gnorm}
+        metrics = {"loss": loss, "grad_norm": gnorm}
+        if with_grads:  # test/debug only: expose the pmean'd grad tree
+            metrics["grads"] = grads
+        return new_state, metrics
 
     mapped = shard_map(
         local_step,
@@ -109,6 +127,7 @@ def make_train_step(model, cfg: ModelConfig, optimizer, mesh: Mesh):
             P(),  # state replicated
             P("data"),  # batch sharded on scenes
             P("data"),
+            P("data"),  # host rulebooks: one flat pack per device
             P(),  # rng replicated (folded per device)
         ),
         out_specs=(P(), P()),

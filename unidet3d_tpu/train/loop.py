@@ -101,7 +101,8 @@ def train(exp: ExperimentConfig, resume: str | None = None):
     train_sets = build_datasets(exp, "train")
     assert train_sets, "no training datasets configured"
     loader = TrainLoader(
-        ConcatDataset(train_sets), exp.model, exp.batch_size, seed=exp.seed
+        ConcatDataset(train_sets), exp.model, exp.batch_size, seed=exp.seed,
+        n_shards=n_dev,
     )
 
     # Init from one prefetched batch.
@@ -140,8 +141,9 @@ def train(exp: ExperimentConfig, resume: str | None = None):
             batch_np, gt_np, pack_np = next(loader)
             batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
             gt = jax.tree_util.tree_map(jnp.asarray, gt_np)
+            pack = jax.tree_util.tree_map(jnp.asarray, pack_np)
             rng, sub = jax.random.split(rng)
-            state, metrics = step_fn(state, batch, gt, sub)
+            state, metrics = step_fn(state, batch, gt, pack, sub)
             losses.append(metrics["loss"])
         mean_loss = float(jnp.mean(jnp.stack(losses)))
         dt = time.time() - t0
