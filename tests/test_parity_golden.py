@@ -1,0 +1,302 @@
+"""Golden parity vs torch twins of the reference modules.
+
+The reference repo can't run here (mmdet3d/spconv absent), but its decoder,
+BN and voxelize semantics are small enough to re-create verbatim in plain
+torch (reference unidet3d/encoder.py:82-283, unidet3d.py:104-111,157-176).
+These tests pin the SURVEY "hard part #2" checklist: BN eps 1e-4 /
+momentum 0.1 / running-stat semantics, ME average-dedup + min-shift,
+exp face-distance box decode (incl. the rotated branch), MHA/FFN/LayerNorm
+numerics through converted checkpoint weights.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tests.test_convert_checkpoint import _make_reference_state_dict  # noqa: E402
+from unidet3d_tpu.core.class_table import build_class_table  # noqa: E402
+from unidet3d_tpu.models.decoder import UniDecoder  # noqa: E402
+from unidet3d_tpu.tools.convert_checkpoint import (  # noqa: E402
+    convert_torch_state_dict,
+)
+
+pytestmark = pytest.mark.slow
+
+
+# --------------------------------------------------------------------------
+# Torch twin of the reference decoder (encoder.py:82-283), kept verbatim.
+# --------------------------------------------------------------------------
+
+
+def _bbox_pred_to_bbox_torch(points, bbox_pred):
+    """Reference encoder.py:241-283, verbatim semantics."""
+    x_center = points[:, 0] + (bbox_pred[:, 1] - bbox_pred[:, 0]) / 2
+    y_center = points[:, 1] + (bbox_pred[:, 3] - bbox_pred[:, 2]) / 2
+    z_center = points[:, 2] + (bbox_pred[:, 5] - bbox_pred[:, 4]) / 2
+    base_bbox = torch.stack([
+        x_center, y_center, z_center,
+        bbox_pred[:, 0] + bbox_pred[:, 1],
+        bbox_pred[:, 2] + bbox_pred[:, 3],
+        bbox_pred[:, 4] + bbox_pred[:, 5],
+    ], -1)
+    if bbox_pred.shape[1] == 6:
+        return base_bbox
+    scale = (bbox_pred[:, 0] + bbox_pred[:, 1] + bbox_pred[:, 2]
+             + bbox_pred[:, 3])
+    q = torch.exp(torch.sqrt(bbox_pred[:, 6] ** 2 + bbox_pred[:, 7] ** 2))
+    alpha = 0.5 * torch.atan2(bbox_pred[:, 6], bbox_pred[:, 7])
+    return torch.stack(
+        (x_center, y_center, z_center, scale / (1 + q),
+         scale / (1 + q) * q, bbox_pred[:, 5] + bbox_pred[:, 4], alpha),
+        dim=-1)
+
+
+class _TorchDecoderTwin(torch.nn.Module):
+    """Reference UniDet3DEncoder (encoder.py:113-239) on one scene."""
+
+    def __init__(self, in_channels, d_model, num_heads, hidden_dim,
+                 num_layers, n_unified):
+        super().__init__()
+        self.num_layers = num_layers
+        self.input_proj = torch.nn.Sequential(
+            torch.nn.Linear(in_channels, d_model), torch.nn.ReLU(),
+            torch.nn.Linear(d_model, d_model))
+        self.self_attn_layers = torch.nn.ModuleList()
+        self.ffn_layers = torch.nn.ModuleList()
+        for _ in range(num_layers):
+            attn = torch.nn.Module()
+            attn.attn = torch.nn.MultiheadAttention(
+                d_model, num_heads, dropout=0.0, batch_first=True)
+            attn.norm = torch.nn.LayerNorm(d_model)
+            self.self_attn_layers.append(attn)
+            ffn = torch.nn.Module()
+            ffn.net = torch.nn.Sequential(
+                torch.nn.Linear(d_model, hidden_dim), torch.nn.GELU(),
+                torch.nn.Dropout(0.0), torch.nn.Linear(hidden_dim, d_model),
+                torch.nn.Dropout(0.0))
+            ffn.norm = torch.nn.LayerNorm(d_model)
+            self.ffn_layers.append(ffn)
+        self.out_norm = torch.nn.LayerNorm(d_model)
+        self.outs_cls = torch.nn.Sequential(
+            torch.nn.Linear(d_model, d_model), torch.nn.ReLU(),
+            torch.nn.Linear(d_model, n_unified))
+        self.out_bboxes = torch.nn.Linear(d_model, 8)
+
+    def _head(self, x, centers, cls_idxs, rotated):
+        h = self.out_norm(x)
+        cls = self.outs_cls(h)[:, cls_idxs]
+        bp = self.out_bboxes(h)
+        bp = torch.hstack((torch.exp(bp[:, :6]), bp[:, 6:]))
+        if not rotated:
+            bp = bp[:, :6]
+        return cls, _bbox_pred_to_bbox_torch(centers, bp)
+
+    def forward(self, x, centers, cls_idxs, rotated):
+        outs = []
+        x = self.input_proj(x)
+        outs.append(self._head(x, centers, cls_idxs, rotated))
+        for i in range(self.num_layers):
+            z, _ = self.self_attn_layers[i].attn(x[None], x[None], x[None])
+            x = self.self_attn_layers[i].norm(z[0] + x)
+            z = self.ffn_layers[i].net(x)
+            x = self.ffn_layers[i].norm(z + x)
+            outs.append(self._head(x, centers, cls_idxs, rotated))
+        return outs
+
+    def load_reference_keys(self, sd):
+        own = {}
+        for k, v in sd.items():
+            if not k.startswith("decoder."):
+                continue
+            kk = k[len("decoder."):]
+            kk = kk.replace("out_bboxes.linear", "out_bboxes")
+            own[kk] = v
+        self.load_state_dict(own)
+
+
+@pytest.mark.parametrize("dataset_idx", [0, 5])  # scannet (aa), arkit (rot)
+def test_decoder_torch_twin_end_to_end(dataset_idx):
+    """All 7 per-layer outputs of our batched decoder under CONVERTED
+    reference weights == the reference decoder twin in torch."""
+    from unidet3d_tpu.core.config import DATASETS_CLASSES
+
+    d_model, heads, hidden, layers = 32, 4, 128, 2
+    planes = (8, 16)
+    table = build_class_table(DATASETS_CLASSES)
+    n_unified = int(np.asarray(table.gather).max()) + 1
+    sd = _make_reference_state_dict(planes, d_model, heads, layers, n_unified)
+
+    rng = np.random.RandomState(5)
+    n, cin = 40, planes[0]
+    x_np = rng.randn(n, cin).astype(np.float32)
+    centers_np = (rng.rand(n, 3) * 4).astype(np.float32)
+
+    # --- torch twin.
+    twin = _TorchDecoderTwin(cin, d_model, heads, hidden, layers, n_unified)
+    twin.load_reference_keys({k: v for k, v in sd.items()})
+    twin.eval()
+    gather_row = np.asarray(table.gather)[dataset_idx]
+    n_cls = int((gather_row >= 0).sum()) - 1  # minus no_obj column
+    cls_idxs = torch.tensor(
+        list(gather_row[:n_cls]) + [n_unified - 1], dtype=torch.long
+    )
+    rotated = dataset_idx == 5
+    with torch.no_grad():
+        ref_outs = twin(
+            torch.from_numpy(x_np), torch.from_numpy(centers_np),
+            cls_idxs, rotated,
+        )
+
+    # --- ours, with converted params.
+    tree = convert_torch_state_dict(
+        sd, num_levels=len(planes), num_layers=layers, d_model=d_model,
+        num_heads=heads,
+    )
+    dec = UniDecoder(
+        num_layers=layers, d_model=d_model, num_heads=heads,
+        hidden_dim=hidden, dropout=0.0, activation="gelu",
+        cls_gather=table.gather, angles=tuple(
+            i == 5 for i in range(len(DATASETS_CLASSES))
+        ),
+    )
+    out = dec.apply(
+        {"params": tree["params"]["decoder"]},
+        jnp.asarray(x_np)[None],
+        jnp.ones((1, n), bool),
+        jnp.asarray(centers_np)[None],
+        jnp.asarray([dataset_idx], np.int32),
+        False,
+    )
+    assert out.cls_logits.shape[0] == layers + 1
+    for li, (ref_cls, ref_box) in enumerate(ref_outs):
+        ours_cls = np.asarray(out.cls_logits[li, 0])
+        # Our layout: dataset classes at columns 0..n_cls-1, no_obj at the
+        # LAST column (NC_MAX); reference gathers [cls_idxs..., no_obj].
+        got = np.concatenate(
+            [ours_cls[:, :n_cls], ours_cls[:, -1:]], axis=1
+        )
+        # fp32 softmax/exp chains accumulate ~1e-3 abs on O(40) logits;
+        # layout/mapping bugs would be O(1).
+        np.testing.assert_allclose(
+            got, ref_cls.numpy(), rtol=2e-3, atol=5e-3,
+            err_msg=f"cls layer {li}",
+        )
+        ours_box = np.asarray(out.boxes[li, 0])
+        nb = ref_box.shape[1]
+        np.testing.assert_allclose(
+            ours_box[:, :nb], ref_box.numpy(), rtol=2e-3, atol=5e-3,
+            err_msg=f"box layer {li}",
+        )
+
+
+def test_batchnorm_torch_semantics():
+    """MaskedBatchNorm == torch BatchNorm1d(eps=1e-4, momentum=0.1)
+    (reference unidet3d.py:104-111): train normalisation (biased var),
+    running stats (unbiased var), then eval normalisation."""
+    from unidet3d_tpu.models.norm import MaskedBatchNorm
+
+    rng = np.random.RandomState(0)
+    n, c = 64, 8
+    x = rng.randn(n, c).astype(np.float32) * 2 + 1
+
+    tb = torch.nn.BatchNorm1d(c, eps=1e-4, momentum=0.1)
+    with torch.no_grad():
+        tb.weight.copy_(torch.from_numpy(rng.rand(c).astype(np.float32)))
+        tb.bias.copy_(torch.from_numpy(rng.rand(c).astype(np.float32)))
+    tb.train()
+    with torch.no_grad():
+        y_train_t = tb(torch.from_numpy(x)).numpy()
+    tb.eval()
+    with torch.no_grad():
+        y_eval_t = tb(torch.from_numpy(x)).numpy()
+
+    bn = MaskedBatchNorm(c)
+    variables = bn.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.ones(n, bool), False
+    )
+    params = {
+        "scale": jnp.asarray(tb.weight.detach().numpy()),
+        "bias": jnp.asarray(tb.bias.detach().numpy()),
+    }
+    y_train, mut = bn.apply(
+        {"params": params, "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), jnp.ones(n, bool), False,
+        mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_train), y_train_t, rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["mean"]),
+        tb.running_mean.numpy(), rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["var"]),
+        tb.running_var.numpy(), rtol=1e-5, atol=1e-6,
+    )
+    y_eval = bn.apply(
+        {"params": params, "batch_stats": mut["batch_stats"]},
+        jnp.asarray(x), jnp.ones(n, bool), True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_eval), y_eval_t, rtol=1e-4, atol=1e-5
+    )
+
+    # Padding rows must not shift the statistics.
+    x_pad = np.concatenate([x, 100 * np.ones((16, c), np.float32)])
+    mask = np.arange(n + 16) < n
+    y_masked, mut2 = bn.apply(
+        {"params": params, "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x_pad), jnp.asarray(mask), False,
+        mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_masked)[:n], y_train_t, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_voxelize_me_average_dedup_and_min_shift():
+    """Level-0 voxelization == ME TensorField average-dedup semantics with
+    the reference min-shift (unidet3d.py:157-176): floor(coords - min),
+    features averaged per voxel."""
+    from unidet3d_tpu.data.batcher import build_packs
+    from unidet3d_tpu.core.config import default_config
+    from unidet3d_tpu.ops.segment import segment_mean
+
+    rng = np.random.RandomState(1)
+    n, cap = 500, 1024
+    cfg = default_config(
+        max_points=n, voxel_capacity=cap, num_planes=(8, 16)
+    )
+    pts = (rng.rand(1, n, 3) * 3).astype(np.float32)
+    vox_src = pts / cfg.voxel_size
+    valid = np.ones((1, n), bool)
+    feats = rng.randn(n, 4).astype(np.float32)
+
+    pack = build_packs(vox_src, valid, cfg, n_shards=1)
+
+    # Reference semantics in plain numpy.
+    shifted = vox_src[0] - vox_src[0].min(0)
+    icoords = np.floor(shifted).astype(np.int64)
+    keys = (icoords[:, 0] << 24) | (icoords[:, 1] << 12) | icoords[:, 2]
+    uniq, inv = np.unique(keys, return_inverse=True)
+    want_n = len(uniq)
+    ref_feats = np.zeros((want_n, 4), np.float32)
+    cnt = np.bincount(inv).astype(np.float32)
+    for j in range(4):
+        ref_feats[:, j] = np.bincount(inv, weights=feats[:, j]) / cnt
+
+    got_n = int(np.asarray(pack.valid[0]).sum())
+    assert got_n == want_n
+    got_feats = np.asarray(
+        segment_mean(
+            jnp.asarray(feats), jnp.asarray(pack.point_inverse), cap
+        )
+    )
+    # Voxels are sorted by packed key; uniq is sorted too -> same order.
+    np.testing.assert_allclose(
+        got_feats[:want_n], ref_feats, rtol=1e-5, atol=1e-6
+    )
