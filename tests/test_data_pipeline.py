@@ -29,8 +29,10 @@ def make_fake_scene(root, name, n=2000, n_inst=3, n_sp=30, seed=0, yaw=False):
     pts.tofile(os.path.join(root, "points", f"{name}.bin"))
 
     inst = rng.randint(-1, n_inst, n).astype(np.int64)
-    # Semantic: instances 0..n_inst-1 -> classes 2 + i (clear of stuff 0,1).
-    sem = np.where(inst >= 0, inst + 2, rng.randint(0, 2, n)).astype(np.int64)
+    # Semantic mask carries RAW nyu40 ids (like the reference's bins):
+    # instance i -> nyu40 3+i (cabinet/bed/chair...), rest wall(1)/floor(2).
+    # point_seg_class_mapping turns these into train ids 2+i / 0 / 1.
+    sem = np.where(inst >= 0, inst + 3, rng.randint(1, 3, n)).astype(np.int64)
     inst.tofile(os.path.join(root, "instance_mask", f"{name}.bin"))
     sem.tofile(os.path.join(root, "semantic_mask", f"{name}.bin"))
     sp = rng.randint(0, n_sp, n).astype(np.int64)

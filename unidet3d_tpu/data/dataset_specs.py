@@ -8,6 +8,19 @@ ARKitScenes infos already carry contiguous labels (no remap).
 """
 from __future__ import annotations
 
+# ScanNet nyu40 taxonomy (ref data/scannet/batch_load_scannet_data.py:25-26,
+# tools/scannet_data_utils.py:101-103): 20 segmentation classes (incl. the
+# wall/floor stuff classes) and the 18 detection classes. Semantic .bin files
+# store raw nyu40 ids; `point_seg_class_mapping` converts to train ids 0..19
+# (unmapped -> 20 = ignore), and detection labels are the position of the
+# instance's nyu40 id in SCANNET_DET_CAT_IDS.
+SCANNET_SEG_VALID_CLASS_IDS = (
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16, 24, 28, 33, 34, 36, 39,
+)
+SCANNET_DET_CAT_IDS = (
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16, 24, 28, 33, 34, 36, 39,
+)
+
 MULTISCAN_VALID_CLASS_IDS = tuple(range(3, 20))
 
 RSCAN_VALID_CLASS_IDS = (

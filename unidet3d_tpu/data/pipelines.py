@@ -21,8 +21,14 @@ SCANNET_STUFF = [0, 1]
 
 def train_pipeline(dataset: str):
     if dataset == "scannet":
+        from .dataset_specs import SCANNET_SEG_VALID_CLASS_IDS
+
         return [
             T.global_alignment,
+            partial(
+                T.point_seg_class_mapping,
+                valid_cat_ids=SCANNET_SEG_VALID_CLASS_IDS,
+            ),
             partial(T.random_flip),
             partial(
                 T.global_rot_scale_trans,

@@ -177,6 +177,21 @@ def _sp_vote_masks(inst_onehot_t, sp_ids):
     return sums / np.maximum(cnts[None, :], 1.0) > 0.5
 
 
+def point_seg_class_mapping(sample, valid_cat_ids, max_cat_id=40, rng=None):
+    """mmdet3d `PointSegClassMapping` (used by the reference ScanNet train
+    pipeline, config:130): raw nyu40 semantic ids -> contiguous train ids
+    [0, len(valid_cat_ids)); any id not listed (incl. 0 = unannotated) maps
+    to len(valid_cat_ids), the ignore index consumed by
+    `point_det_class_mapping_scannet` as `num_classes`."""
+    sem = sample["pts_semantic_mask"].astype(np.int64)
+    n = len(valid_cat_ids)
+    lut = np.full(max_cat_id + 1, n, np.int64)
+    for i, c in enumerate(valid_cat_ids):
+        lut[c] = i
+    sample["pts_semantic_mask"] = lut[np.clip(sem, 0, max_cat_id)]
+    return sample
+
+
 def point_det_class_mapping_scannet(sample, num_classes, stuff_classes, rng=None):
     """ScanNet GT markup (ref transforms_3d.py:148-228): drop stuff/ignore
     instances, compact ids, build per-superpoint instance vote masks and

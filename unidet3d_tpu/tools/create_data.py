@@ -85,16 +85,60 @@ def write_infos(entries, out_root, filename, metainfo=None):
 
 
 # ---------------------------------------------------------------------------
-# ScanNet raw export (ref data/scannet/load_scannet_data.py).
+# ScanNet raw export (ref data/scannet/load_scannet_data.py,
+# scannet_utils.py, batch_load_scannet_data.py, tools/scannet_data_utils.py).
 # ---------------------------------------------------------------------------
 
 
-def export_scannet_scene(scans_dir: str, scene: str):
-    """Read one raw ScanNet scene -> (points, sem, inst, superpoints,
-    axis_align). Label mapping to the 20-class nyu40-subset ids is done via
-    the aggregation/segs jsons + tsv if present; otherwise raw labels pass
-    through."""
+def read_label_mapping(tsv_path, label_from="raw_category",
+                       label_to="nyu40id"):
+    """Parse scannetv2-labels.combined.tsv: raw category string -> nyu40 id
+    (ref scannet_utils.py:33-44). The tsv ships with every ScanNet download."""
+    import csv
+
+    mapping = {}
+    with open(tsv_path) as f:
+        for row in csv.DictReader(f, delimiter="\t"):
+            mapping[row[label_from]] = int(row[label_to])
+    assert mapping, f"empty label mapping from {tsv_path}"
+    return mapping
+
+
+def instance_boxes(xyz, inst, inst_to_nyu40, keep_cat_ids):
+    """Per-instance axis-aligned boxes (ref load_scannet_data.py:56-71 +
+    batch_load_scannet_data.py OBJ_CLASS_IDS filter): geometric-center
+    (cx cy cz dx dy dz) plus the nyu40 label mapped to its position in
+    `keep_cat_ids`; instances with other labels are dropped."""
+    cat2label = {int(c): i for i, c in enumerate(keep_cat_ids)}
+    boxes, labels = [], []
+    for obj_id, nyu in sorted(inst_to_nyu40.items()):
+        if int(nyu) not in cat2label:
+            continue
+        pc = xyz[inst == obj_id]
+        if len(pc) == 0:
+            continue
+        mn, mx = pc.min(0), pc.max(0)
+        boxes.append(np.concatenate([(mn + mx) / 2.0, mx - mn]))
+        labels.append(cat2label[int(nyu)])
+    if not boxes:
+        return np.zeros((0, 6), np.float32), np.zeros((0,), np.int64)
+    return (np.stack(boxes).astype(np.float32),
+            np.asarray(labels, np.int64))
+
+
+def export_scannet_scene(scans_dir: str, scene: str, label_map: dict):
+    """Read one raw ScanNet scene -> (points, sem, inst, superpoints, boxes,
+    labels, axis_align).
+
+    Reference semantics (load_scannet_data.py:74-171): semantic mask carries
+    RAW nyu40 ids (0 = unannotated) — the train pipeline's
+    point_seg_class_mapping converts them; instance ids are 1-indexed with
+    0 = unannotated; GT boxes are computed from axis-ALIGNED vertices and
+    filtered + remapped to the 18 detection classes
+    (batch_load_scannet_data.py:25-26, scannet_data_utils.py:101-110).
+    """
     from .ply import mesh_points_colors, read_ply
+    from ..data.dataset_specs import SCANNET_DET_CAT_IDS
     from ..native import segmentator
 
     d = os.path.join(scans_dir, scene)
@@ -115,8 +159,9 @@ def export_scannet_scene(scans_dir: str, scene: str):
 
     # Instance/semantic from aggregation + segs jsons.
     n = len(points)
-    sem = np.zeros(n, np.int64)
-    inst = np.full(n, -1, np.int64)
+    sem = np.zeros(n, np.int64)  # 0 = unannotated (raw nyu40 space)
+    inst = np.zeros(n, np.int64)  # 0 = unannotated, objects 1-indexed
+    inst_to_nyu40 = {}
     agg_path = os.path.join(d, f"{scene}.aggregation.json")
     segs_path = os.path.join(d, f"{scene}_vh_clean_2.0.010000.segs.json")
     if os.path.exists(agg_path) and os.path.exists(segs_path):
@@ -131,9 +176,20 @@ def export_scannet_scene(scans_dir: str, scene: str):
             verts = [
                 v for s in obj["segments"] for v in seg_to_verts.get(s, [])
             ]
-            inst[verts] = obj["objectId"]
-            sem[verts] = hash(obj["label"]) % 40  # placeholder w/o tsv map
-    return points, sem, inst, sp, axis_align
+            obj_id = obj["objectId"] + 1  # 1-indexed like the reference
+            nyu = label_map[obj["label"]]
+            inst[verts] = obj_id
+            sem[verts] = nyu
+            inst_to_nyu40.setdefault(obj_id, nyu)
+
+    # GT boxes in the axis-aligned frame (eval applies global_alignment to
+    # points, so boxes must live in the aligned frame too).
+    ones = np.concatenate([points[:, :3], np.ones((n, 1), np.float32)], 1)
+    aligned_xyz = (ones @ axis_align.T)[:, :3]
+    boxes, labels = instance_boxes(
+        aligned_xyz, inst, inst_to_nyu40, SCANNET_DET_CAT_IDS
+    )
+    return points, sem, inst, sp, boxes, labels, axis_align
 
 
 # ---------------------------------------------------------------------------
@@ -174,11 +230,22 @@ def prepare_generic(raw_dir, out_root, scene_names, filename, workers=8):
     return write_infos(entries, out_root, filename)
 
 
-def prepare_scannet(scans_dir, out_root, scene_names, filename, workers=8):
+def prepare_scannet(scans_dir, out_root, scene_names, filename,
+                    label_map_file, workers=8):
+    assert label_map_file, (
+        "ScanNet export requires --label-map-file "
+        "(scannetv2-labels.combined.tsv from the ScanNet download); refusing "
+        "to write placeholder semantics"
+    )
+    label_map = read_label_mapping(label_map_file)
+
     def one(name):
-        points, sem, inst, sp, aa = export_scannet_scene(scans_dir, name)
+        points, sem, inst, sp, boxes, labels, aa = export_scannet_scene(
+            scans_dir, name, label_map
+        )
         return write_scene(
-            out_root, name, points, sem, inst, sp, axis_align=aa
+            out_root, name, points, sem, inst, sp,
+            boxes=boxes, labels=labels, axis_align=aa,
         )
 
     with ThreadPoolExecutor(max_workers=workers) as ex:
@@ -194,15 +261,22 @@ def main():
     ap.add_argument("--scenes-file", required=True,
                     help="text file with one scene name per line")
     ap.add_argument("--out-name", default="infos_train.pkl")
+    ap.add_argument("--label-map-file", default=None,
+                    help="scannetv2-labels.combined.tsv (required for "
+                         "scannet)")
     ap.add_argument("--workers", type=int, default=8)
     args = ap.parse_args()
 
     scenes = [
         line.strip() for line in open(args.scenes_file) if line.strip()
     ]
-    fn = prepare_scannet if args.dataset == "scannet" else prepare_generic
-    path = fn(args.raw_dir, args.out_root, scenes, args.out_name,
-              args.workers)
+    if args.dataset == "scannet":
+        path = prepare_scannet(args.raw_dir, args.out_root, scenes,
+                               args.out_name, args.label_map_file,
+                               args.workers)
+    else:
+        path = prepare_generic(args.raw_dir, args.out_root, scenes,
+                               args.out_name, args.workers)
     print(f"wrote {path} ({len(scenes)} scenes)")
 
 
