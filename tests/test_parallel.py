@@ -161,7 +161,35 @@ def test_eval_step_sharded():
         jax.tree_util.tree_map(lambda x: x[:1], batch),
         jax.random.PRNGKey(0),
     )
+    n_dev = mesh.devices.size
+    packs = jax.tree_util.tree_map(
+        jnp.asarray,
+        build_packs(
+            np.asarray(batch.vox_src), np.asarray(batch.valid), cfg,
+            n_shards=n_dev,
+        ),
+    )
     eval_fn = make_eval_step(model, cfg, mesh)
-    out, aux = eval_fn(state.params, state.batch_stats, batch)
-    assert out.cls_logits.shape[1] == 8
-    assert np.isfinite(np.asarray(out.boxes)).all()
+    cls_logits, boxes, qvalid = eval_fn(
+        state.params, state.batch_stats, batch, packs
+    )
+    assert cls_logits.shape[0] == 8
+    assert boxes.shape[:2] == (8, cfg.max_superpoints)
+    assert qvalid.shape[0] == 8
+    assert np.isfinite(np.asarray(boxes)).all()
+
+    # Sharded forward must match the single-device form scene-by-scene.
+    single = make_eval_step(model, cfg, None)
+    pack1 = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x[None]),
+        build_packs(
+            np.asarray(batch.vox_src)[:1], np.asarray(batch.valid)[:1], cfg
+        ),
+    )
+    c1, b1, q1 = single(
+        state.params, state.batch_stats,
+        jax.tree_util.tree_map(lambda x: x[:1], batch), pack1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(c1[0]), np.asarray(cls_logits[0]), rtol=2e-4, atol=2e-4
+    )

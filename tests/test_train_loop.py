@@ -72,10 +72,68 @@ def test_train_checkpoint_eval(tmp_path, caplog):
     state2 = train(exp2, resume="auto")
     assert int(state2.step) == 6
 
-    # Eval produces finite metrics.
-    results = evaluate(exp, state, logger=None)
+    # Eval produces finite metrics; batched+sharded path (3 scenes pad to
+    # the 8-device group) and --show-dir .obj dumps.
+    show = str(tmp_path / "show")
+    results = evaluate(exp, state, logger=None, show_dir=show)
     assert "scannet" in results
     assert np.isfinite(results["scannet"]["mAP_0.25"])
+    dumped = sorted(os.listdir(show))
+    assert len(dumped) == 3  # one dir per REAL scene, none for padding
+    files = os.listdir(os.path.join(show, dumped[0]))
+    assert any(f.endswith("_points.obj") for f in files)
+    assert any(f.endswith("_gt.obj") for f in files)
+
+
+def test_eval_loader_batches(tmp_path):
+    from tests.test_data_pipeline import write_fake_dataset
+    from unidet3d_tpu.data.datasets import IndoorDataset
+    from unidet3d_tpu.data.loader import EvalLoader
+    from unidet3d_tpu.data.pipelines import test_pipeline
+
+    root = str(tmp_path / "scannet")
+    write_fake_dataset(root, n_scenes=5)
+    cfg = small_config(max_points=1024, voxel_capacity=1024,
+                       max_superpoints=48)
+    ds = IndoorDataset(root, "infos.pkl", 0,
+                       pipeline=test_pipeline("scannet"), test_mode=True)
+    groups = list(EvalLoader(ds, cfg, batch_size=2, n_shards=2))
+    assert len(groups) == 3
+    n_reals = [g[4] for g in groups]
+    assert n_reals == [2, 2, 1]
+    samples, batch, gt, pack, _ = groups[0]
+    assert batch.points.shape[0] == 2
+    # Stacked per-shard pack form: leading dim == n_shards.
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(pack):
+        assert leaf.shape[0] == 2
+    # Padded last group repeats the final scene (collate's over-capacity
+    # subsample differs per slot, so compare the raw pipeline samples).
+    s_last, batch_last, _, _, n_real = groups[2]
+    np.testing.assert_array_equal(
+        s_last[0]["points"], s_last[1]["points"]
+    )
+
+
+def test_allgather_object_roundtrip():
+    """Single-process path of the multi-host gather helpers."""
+    from unidet3d_tpu.train.metric import (
+        _allgather_object,
+        _pad_pickle,
+        _unpad_pickle,
+    )
+
+    obj = {"a": np.arange(5), "b": [1, "two"]}
+    # Pad/unpad round trip at several lengths.
+    raw_len = len(_pad_pickle(obj)) - 8
+    for pad_to in (raw_len, raw_len + 17):
+        out = _unpad_pickle(_pad_pickle(obj, pad_to))
+        np.testing.assert_array_equal(out["a"], obj["a"])
+        assert out["b"] == obj["b"]
+    gathered = _allgather_object(obj)
+    assert len(gathered) == 1
+    np.testing.assert_array_equal(gathered[0]["a"], obj["a"])
 
 
 def test_apply_overrides(tmp_path):

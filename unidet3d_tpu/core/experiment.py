@@ -45,6 +45,7 @@ class ExperimentConfig:
     ckpt_max_keep: int = 16
     val_interval_epochs: int = 16
     val_last_epochs: int = 16  # val every epoch for the last K epochs
+    eval_batch_size: int = 0  # 0 = one scene per mesh device
     seed: int = 0
     load_from: Optional[str] = None  # params checkpoint for (partial) init
     load_prefix: str = "backbone"  # subtree restored from load_from

@@ -91,3 +91,51 @@ def eval_batches(dataset, cfg: ModelConfig):
         sample = dataset[i]
         batch, gt, pack = collate([sample], cfg, training=False)
         yield sample, batch, gt, pack
+
+
+class EvalLoader:
+    """Batched eval prefetcher: iterates one dataset's scenes in order in
+    groups of `batch_size`, collating + building host rulebooks on a
+    background thread so the device never waits on the host (the reference
+    TestLoop is bs=1 synchronous, unidet3d.py:475-538 — this path beats it
+    rather than copying it).
+
+    The final group is padded by repeating the last scene; `n_real` marks
+    how many leading scenes are genuine. Yields
+    (samples, PointBatch, GTBatch, packs, n_real) where `packs` is the
+    stacked per-shard transport form (see batcher.build_packs).
+    """
+
+    def __init__(self, dataset, cfg: ModelConfig, batch_size: int,
+                 n_shards: int = 1, prefetch: int = 2):
+        assert batch_size % n_shards == 0, (batch_size, n_shards)
+        self.dataset = dataset
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.n_shards = n_shards
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._n_groups = -(-len(dataset) // batch_size)
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        n = len(self.dataset)
+        for g in range(self._n_groups):
+            lo = g * self.batch_size
+            idxs = [min(lo + j, n - 1) for j in range(self.batch_size)]
+            samples = [self.dataset[i] for i in idxs]
+            batch, gt, pack = collate(
+                samples, self.cfg, training=False, n_shards=self.n_shards
+            )
+            if self.n_shards == 1 and pack is not None:
+                pack = _tree_map(lambda x: x[None], pack)
+            n_real = min(self.batch_size, n - lo)
+            self._q.put((samples, batch, gt, pack, n_real))
+        self._q.put(None)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            yield item

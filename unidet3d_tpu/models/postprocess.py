@@ -103,6 +103,29 @@ def trim_boxes_by_superpoints(
 
 
 @partial(jax.jit, static_argnums=(0, 1))
+def predict_batch(
+    cfg: ModelConfig,
+    dataset_idx: int,
+    cls_logits: jnp.ndarray,  # (B, Q, NC+1)
+    boxes: jnp.ndarray,  # (B, Q, 7)
+    query_valid: jnp.ndarray,  # (B, Q)
+    points: jnp.ndarray,  # (B, P, 3)
+    point_valid: jnp.ndarray,  # (B, P)
+    sp_ids: jnp.ndarray,  # (B, P)
+) -> SceneDetections:
+    """Batched post-processing: one dispatch per scene GROUP instead of per
+    scene. lax.map (not vmap) keeps the peak memory of the face-distance
+    tensor in trim_boxes at one scene's worth."""
+
+    def one(args):
+        return predict_scene(cfg, dataset_idx, *args)
+
+    return jax.lax.map(
+        one, (cls_logits, boxes, query_valid, points, point_valid, sp_ids)
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1))
 def predict_scene(
     cfg: ModelConfig,
     dataset_idx: int,

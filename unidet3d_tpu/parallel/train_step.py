@@ -137,27 +137,33 @@ def make_train_step(
 
 
 def make_eval_step(model, cfg: ModelConfig, mesh: Mesh | None = None):
-    """Jitted inference forward: (state, batch) -> (DecoderOutput, ForwardAux).
+    """Jitted inference forward:
+    (params, batch_stats, batch, packs) -> (cls_logits, boxes, query_valid)
+    — last decoder layer only, (B, Q, ...) shapes.
 
-    Single-device by default (eval batches are bs=1 in the reference,
-    config:648); pass a mesh to shard eval over scenes.
+    `packs` is the stacked host-rulebook transport form (leading dim = mesh
+    size, batcher.build_packs), same as the train step — eval never traces
+    the device-side rulebook rebuild. Pass a mesh to shard scenes over the
+    `data` axis; without one the single-device form still consumes the
+    stacked (1, ...) pack.
     """
 
-    def fwd(params, batch_stats, batch: PointBatch):
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats}, batch, False
+    def fwd(params, batch_stats, batch: PointBatch, packs):
+        pack = jax.tree_util.tree_map(lambda x: x[0], packs)
+        out, aux = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch, False,
+            pack,
         )
+        return out.cls_logits[-1], out.boxes[-1], aux.query_valid
 
-    if mesh is None:
+    if mesh is None or mesh.devices.size == 1:
         return jax.jit(fwd)
 
     mapped = shard_map(
         fwd,
         mesh=mesh,
-        in_specs=(P(), P(), P("data")),
-        # DecoderOutput leaves are (L, B, ...) — batch on dim 1; ForwardAux
-        # leaves are (B, ...).
-        out_specs=(P(None, "data"), P("data")),
+        in_specs=(P(), P(), P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data")),
         check_vma=False,
     )
     return jax.jit(mapped)

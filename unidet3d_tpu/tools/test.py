@@ -54,9 +54,9 @@ def main():
 
     state = TrainState(*restored)
 
-    results = evaluate(exp, state, model, table)
+    results = evaluate(exp, state, model, table, show_dir=args.show_dir)
     if args.show_dir:
-        logging.info("visualisations not yet dumped in test CLI; see viz/")
+        logging.info("visualisations written to %s", args.show_dir)
     for name, res in results.items():
         print(
             f"{name}: mAP@0.25={res.get('mAP_0.25', 0):.4f} "

@@ -18,16 +18,16 @@ import numpy as np
 
 from ..core.class_table import build_class_table
 from ..core.experiment import ExperimentConfig
-from ..data.batcher import collate
 from ..data.datasets import ConcatDataset, IndoorDataset
-from ..data.loader import TrainLoader
+from ..data.loader import EvalLoader, TrainLoader
 from ..data.pipelines import test_pipeline, train_pipeline
 from ..models.detector import UniDet3DTPU
-from ..models.postprocess import predict_scene
+from ..models.postprocess import predict_batch
 from ..parallel.train_step import (
     TrainState,
     create_mesh,
     init_state,
+    make_eval_step,
     make_train_step,
     replicate,
 )
@@ -167,43 +167,74 @@ def train(exp: ExperimentConfig, resume: str | None = None):
 
 
 def evaluate(exp: ExperimentConfig, state, model=None, table=None,
-             logger=None):
-    """Run per-dataset validation (reference TestLoop, SURVEY.md §3.2)."""
+             logger=None, show_dir: str | None = None):
+    """Run per-dataset validation (reference TestLoop semantics,
+    SURVEY.md §3.2 — which is bs=1 only, unidet3d.py:475-538).
+
+    This path batches + shards instead: scenes are collated and rulebook-
+    built on a prefetch thread (EvalLoader), the forward is pjit-sharded
+    over the mesh `data` axis, and post-processing runs one device dispatch
+    per scene GROUP (predict_batch). In multi-process runs every process
+    evaluates its dataset shard and results are all-gathered before
+    compute(). `show_dir` dumps .obj visualizations per scene (reference
+    tools/test.py:124-126 --show-dir)."""
     if model is None:
         model, table = build_model(exp)
     cfg = exp.model
     metric = IndoorMetric(cfg, exp.datasets_classes)
+    mesh = create_mesh()
+    n_dev = mesh.devices.size
+    eval_bs = exp.eval_batch_size or n_dev
+    assert eval_bs % n_dev == 0, (eval_bs, n_dev)
+    fwd = make_eval_step(model, cfg, mesh)
 
-    @jax.jit
-    def fwd(params, batch_stats, batch, pack):
-        out, aux = model.apply(
-            {"params": params, "batch_stats": batch_stats}, batch, False, pack
-        )
-        return out.cls_logits[-1], out.boxes[-1], aux.query_valid
-
+    n_scenes = 0
+    t0 = time.time()
     for ds in build_datasets(exp, "val"):
         didx = ds.dataset_idx
-        for i in range(len(ds)):
-            sample = ds[i]
-            batch_np, gt_np, pack_np = collate([sample], cfg, training=False)
+        loader = EvalLoader(ds, cfg, eval_bs, n_shards=n_dev)
+        scene_base = 0
+        for samples, batch_np, gt_np, pack_np, n_real in loader:
             batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
             pack = jax.tree_util.tree_map(jnp.asarray, pack_np)
             cls_logits, boxes, qvalid = fwd(
                 state.params, state.batch_stats, batch, pack
             )
-            det = predict_scene(
-                cfg, didx, cls_logits[0], boxes[0], qvalid[0],
-                batch.points[0], batch.valid[0], batch.sp_ids[0],
+            det = predict_batch(
+                cfg, didx, cls_logits, boxes, qvalid,
+                batch.points, batch.valid, batch.sp_ids,
             )
-            gt_boxes = sample["gt_bboxes_3d"]
-            if gt_boxes.shape[1] == 6:
-                gt_boxes = np.concatenate(
-                    [gt_boxes, np.zeros((len(gt_boxes), 1), np.float32)], 1
+            det = jax.tree_util.tree_map(np.asarray, det)
+            for i in range(n_real):
+                sample = samples[i]
+                gt_boxes = sample["gt_bboxes_3d"]
+                if gt_boxes.shape[1] == 6:
+                    gt_boxes = np.concatenate(
+                        [gt_boxes,
+                         np.zeros((len(gt_boxes), 1), np.float32)], 1
+                    )
+                metric.process(
+                    didx,
+                    det.boxes[i], det.labels[i], det.scores[i],
+                    det.valid[i],
+                    gt_boxes, sample["gt_labels_3d"],
                 )
-            metric.process(
-                didx,
-                np.asarray(det.boxes), np.asarray(det.labels),
-                np.asarray(det.scores), np.asarray(det.valid),
-                gt_boxes, sample["gt_labels_3d"],
-            )
+                if show_dir:
+                    from ..viz.show_results import show_result
+
+                    keep = np.asarray(det.valid[i], bool)
+                    pred = det.boxes[i][keep]
+                    name = (f"{cfg.datasets[didx]}_"
+                            f"scene{scene_base + i:05d}")
+                    show_result(
+                        show_dir, name,
+                        np.asarray(sample["points"], np.float32),
+                        gt_boxes, pred,
+                    )
+            scene_base += n_real
+            n_scenes += n_real
+    dt = max(time.time() - t0, 1e-9)
+    log.info("eval: %d scenes in %.1f s (%.2f scenes/s)",
+             n_scenes, dt, n_scenes / dt)
+    metric.gather_across_processes()
     return metric.compute(logger=logger if logger is not None else print)
