@@ -132,3 +132,73 @@ def test_banded_conv_custom_vjp_matches_xla_grads():
     np.testing.assert_allclose(
         np.asarray(gw_b), np.asarray(gw_ref), atol=1e-3
     )
+
+
+def test_per_offset_windows_match_gather_form_with_grads():
+    """Mixed per-offset window widths (x wide, y/z narrow): value + grads
+    vs the XLA gather form. Integer inputs -> exact in bf16."""
+    import jax
+    from unidet3d_tpu.ops.pallas_conv import build_miss_list, subm_conv_banded
+
+    rng = np.random.RandomState(11)
+    grid, _, nbr, _ = _setup()
+    cap, cin, cout = 1024, 8, 16
+    vf = jnp.asarray(rng.randint(-3, 4, (cap, cin)).astype(np.float32))
+    w = jnp.asarray(rng.randint(-2, 3, (27, cin, cout)).astype(np.float32))
+    # x-offsets (o // 9 != 1) get 512, y/z/center 144 — narrow enough that
+    # the miss path fires for the narrow classes.
+    windows = tuple(512 if o // 9 != 1 else 144 for o in range(27))
+    rb = build_banded_rulebook(nbr, cap, block=128, window=np.array(windows))
+    ml = build_miss_list(rb.miss_idx, cap, miss_cap=4096)
+    # Per-offset widths must beat the uniform-narrow build on misses.
+    rb_uniform = build_banded_rulebook(nbr, cap, block=128, window=144)
+    assert rb.n_miss < rb_uniform.n_miss
+
+    nv = int(grid.n_voxels)
+    mask = (np.arange(cap) < nv)[:, None]
+    gdir = jnp.asarray(
+        rng.randint(-2, 3, (cap, cout)).astype(np.float32)
+    ) * mask
+    nbr_j = jnp.asarray(nbr)
+
+    def loss_ref(feat, weights):
+        return jnp.sum(subm_conv(feat, nbr_j, weights) * gdir)
+
+    def loss_banded(feat, weights):
+        out = subm_conv_banded(
+            windows, True, feat, weights,
+            jnp.asarray(rb.bases), jnp.asarray(rb.rel),
+            jnp.asarray(ml.rows), jnp.asarray(ml.nbrs), jnp.asarray(ml.offs),
+        )
+        return jnp.sum(out * gdir)
+
+    import jax
+
+    v_ref, (gf_ref, gw_ref) = jax.value_and_grad(loss_ref, argnums=(0, 1))(
+        vf, w
+    )
+    v_b, (gf_b, gw_b) = jax.value_and_grad(loss_banded, argnums=(0, 1))(
+        vf, w
+    )
+    np.testing.assert_allclose(float(v_b), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gf_b)[:nv], np.asarray(gf_ref)[:nv], atol=1e-3
+    )
+    np.testing.assert_allclose(np.asarray(gw_b), np.asarray(gw_ref), atol=1e-3)
+
+
+def test_level_conv_windows_config():
+    from unidet3d_tpu.core.config import default_config
+
+    cfg = default_config()  # caps 131072..8192
+    wins = cfg.level_conv_windows()
+    assert len(wins) == len(cfg.num_planes)
+    for lvl, w27 in enumerate(wins):
+        assert len(w27) == 27
+        assert all(v % 16 == 0 for v in w27)
+        # y/z/center class = cfg.conv_window at full caps.
+        assert w27[13] == 576  # center offset (1,1,1) -> o=13
+    # x windows shrink with level capacity but never below the y/z width.
+    x0 = wins[0][0]
+    x_last = wins[-1][0]
+    assert x0 == 1536 and x_last == 576

@@ -67,7 +67,13 @@ class ModelConfig:
     # Submanifold conv implementation: 'xla' (gather form) or 'pallas'
     # (banded fused kernel, requires host-built BandedPack rulebooks).
     subm_impl: str = "xla"
-    conv_window: int = 512  # pallas conv window (>= block + drift spread)
+    # Pallas banded-conv windows, PER OFFSET CLASS. In (batch, x, y, z)
+    # sorted order the y/z/center offsets drift by at most a z-run
+    # (~tens of rows; 576 = block 512 + 16-align slack + margin), while
+    # x-offsets jump a whole x-slab (~V / n_x_slices rows; walls orthogonal
+    # to x make the tail long — the residue goes to the compact miss list).
+    conv_window: int = 576  # y/z/center offsets
+    conv_window_x: int = 1536  # x offsets at full resolution
     conv_miss_cap: int = 16384  # compact out-of-window correction capacity
 
     @property
@@ -85,6 +91,26 @@ class ModelConfig:
         for _ in range(len(self.num_planes) - 1):
             caps.append(max(caps[-1] // 2, 1024))
         return tuple(c * batch_size for c in caps)
+
+    def level_conv_windows(self) -> Tuple[Tuple[int, ...], ...]:
+        """Per-level (27,) pallas conv window widths, derived from PER-SCENE
+        capacities (drift is a within-scene property, so windows are batch-
+        size invariant and the host pack builder and the compiled kernel
+        always agree). x-offsets (o // 9 != 1) get the wide window, shrunk
+        at coarse levels where slabs are short; all values 16-aligned."""
+
+        def a16(v):
+            return -(-v // 16) * 16
+
+        out = []
+        for cap in self.level_capacities(1):
+            block = min(512, cap)
+            wyzc = a16(max(block + 64, min(self.conv_window, a16(cap + 16))))
+            wx = a16(max(wyzc, min(self.conv_window_x, max(cap // 16, wyzc))))
+            out.append(
+                tuple(wx if (o // 9 != 1) else wyzc for o in range(27))
+            )
+        return tuple(out)
 
 
 # Reference class lists (config:5-26).

@@ -130,7 +130,8 @@ def _build_one_pack(vox_src, valid, cfg: ModelConfig):
         from ..ops.gridpack import build_banded_pack
 
         banded = build_banded_pack(
-            pack, caps, window=cfg.conv_window, miss_cap=cfg.conv_miss_cap
+            pack, caps, window=cfg.level_conv_windows(),
+            miss_cap=cfg.conv_miss_cap,
         )
         pack = pack._replace(banded=banded)
     return pack

@@ -145,7 +145,7 @@ class UniDet3DTPU(nn.Module):
             num_planes=cfg.num_planes,
             axis_name=cfg.axis_name,
             dtype=jnp.dtype(cfg.compute_dtype),
-            conv_window=cfg.conv_window,
+            conv_window=cfg.level_conv_windows(),
             name="backbone",
         )(vox_feats, pack, train)
 

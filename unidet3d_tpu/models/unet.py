@@ -38,8 +38,9 @@ class SubmConv(nn.Module):
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
-    conv_window: int = 512  # static: pallas window (must NOT ride in the
-    # banded tuple — remat would turn it into a tracer)
+    # Static pallas window width(s): int or (27,) per-offset tuple (must NOT
+    # ride in the banded tuple — remat would turn it into a tracer).
+    conv_window: int | tuple = 576
 
     @nn.compact
     def __call__(
@@ -74,7 +75,7 @@ class ResidualBlock(nn.Module):
     out_channels: int
     axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32
-    conv_window: int = 512
+    conv_window: int | tuple = 576  # int or (27,) per-offset widths
 
     @nn.compact
     def __call__(self, x, mask, neighbors, train: bool, banded=None):
@@ -123,7 +124,10 @@ class SpConvUNet(nn.Module):
     axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32
     remat: bool = True  # rematerialise residual blocks in training backward
-    conv_window: int = 512  # pallas conv window (when pack.banded given)
+    # Pallas conv windows (when pack.banded given): int (uniform) or a
+    # per-level tuple whose entries are an int or (27,) per-offset widths
+    # (ModelConfig.level_conv_windows) — must match the host pack build.
+    conv_window: int | tuple = 576
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pack: GridPack, train: bool):
@@ -136,6 +140,10 @@ class SpConvUNet(nn.Module):
             if (self.remat and train)
             else ResidualBlock
         )
+
+        def level_window(lvl):
+            w = self.conv_window
+            return w[lvl] if isinstance(w, tuple) else w
 
         def level_banded(lvl):
             b = pack.banded
@@ -156,7 +164,7 @@ class SpConvUNet(nn.Module):
                     planes[lvl],
                     axis_name=self.axis_name,
                     dtype=self.dtype,
-                    conv_window=self.conv_window,
+                    conv_window=level_window(lvl),
                     name=f"level{lvl}_block{i}",
                 )(x, mask, nbr, train, level_banded(lvl))
             if lvl < levels - 1:
@@ -210,7 +218,7 @@ class SpConvUNet(nn.Module):
                     planes[lvl],
                     axis_name=self.axis_name,
                     dtype=self.dtype,
-                    conv_window=self.conv_window,
+                    conv_window=level_window(lvl),
                     name=f"level{lvl}_tail{i}",
                 )(x, mask, nbr, train, level_banded(lvl))
         return x
@@ -222,7 +230,7 @@ class UNetBackbone(nn.Module):
     num_planes: Sequence[int]
     axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32
-    conv_window: int = 512
+    conv_window: int | tuple = 576  # see SpConvUNet.conv_window
 
     @nn.compact
     def __call__(self, vox_feats: jnp.ndarray, pack: GridPack, train: bool):
@@ -233,8 +241,13 @@ class UNetBackbone(nn.Module):
                 bd.bases[0], bd.rel[0], bd.miss_rows[0], bd.miss_nbrs[0],
                 bd.miss_offs[0],
             )
+        w0 = (
+            self.conv_window[0]
+            if isinstance(self.conv_window, tuple)
+            else self.conv_window
+        )
         x = SubmConv(self.num_planes[0], dtype=self.dtype,
-                     conv_window=self.conv_window, name="input_conv")(
+                     conv_window=w0, name="input_conv")(
             vox_feats, pack.neighbors[0], b0
         )
         x = SpConvUNet(

@@ -249,17 +249,26 @@ def build_banded_pack(
     pack: GridPack,
     capacities,
     block: int = 512,
-    window: int = 512,
+    window=512,
     miss_cap: int = 16384,
 ) -> BandedPack:
-    """Host-side: convert every level's neighbor table to banded form."""
+    """Host-side: convert every level's neighbor table to banded form.
+
+    `window`: int (uniform), or a per-level sequence whose entries are an int
+    or a (K,) per-offset width tuple (ModelConfig.level_conv_windows)."""
     from .pallas_conv import build_banded_rulebook, build_miss_list
+
+    if np.isscalar(window):
+        windows = [window] * len(capacities)
+    else:
+        windows = list(window)
+        assert len(windows) == len(capacities), (len(windows), len(capacities))
 
     bases, rel, mr, mn, mo = [], [], [], [], []
     for lvl, cap in enumerate(capacities):
         nbr = np.asarray(pack.neighbors[lvl])
         b = min(block, cap)
-        rb = build_banded_rulebook(nbr, cap, block=b, window=window)
+        rb = build_banded_rulebook(nbr, cap, block=b, window=windows[lvl])
         ml = build_miss_list(rb.miss_idx, cap, miss_cap)
         bases.append(rb.bases)
         rel.append(rb.rel)

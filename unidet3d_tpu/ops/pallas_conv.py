@@ -55,12 +55,17 @@ class BandedRulebook(NamedTuple):
 
 def build_banded_rulebook(
     neighbors: np.ndarray, capacity: int, block: int = BLOCK,
-    window: int = WINDOW,
+    window=WINDOW,
 ) -> BandedRulebook:
     """Convert a (V, K) neighbor table (sentinel = capacity) into the banded
-    form. numpy, vectorised; runs in the input pipeline."""
+    form. numpy, vectorised; runs in the input pipeline.
+
+    `window` may be an int (uniform) or a (K,) sequence of PER-OFFSET widths
+    (x-offsets drift a whole x-slab, y/z-offsets only a z-run — see
+    ModelConfig.level_conv_windows)."""
     v, k = neighbors.shape
     assert v % block == 0, (v, block)
+    windows = np.broadcast_to(np.asarray(window, np.int64), (k,))
     nb = v // block
     idx = neighbors.reshape(nb, block, k)
     valid = idx < capacity
@@ -71,7 +76,7 @@ def build_banded_rulebook(
     bases = (bases - (bases % 16)).astype(np.int32)  # sublane-aligned DMA
     # (16 covers bf16 (16,128) tiling; f32 (8,128) needs only 8.)
     rel = idx - bases[:, None, :]
-    in_win = valid & (rel >= 0) & (rel < window)
+    in_win = valid & (rel >= 0) & (rel < windows[None, None, :])
     rel = np.where(in_win, rel, -1).astype(np.int32)
     miss = valid & ~in_win
     miss_idx = np.where(miss, idx, capacity).astype(np.int32)
@@ -83,28 +88,31 @@ def build_banded_rulebook(
     )
 
 
-def _make_kernel(n_off: int, window: int, dtype=jnp.bfloat16):
+def _make_kernel(n_off: int, windows: tuple, dtype=jnp.bfloat16):
     """Burst-mode kernel: all K window DMAs for a block are launched at once
     (one buffer + semaphore per offset), then the compute loop drains them —
     the per-step DMA latency is fully hidden and each grid step carries
-    K x 2 MXU calls of work."""
+    K x 2 MXU calls of work. Each offset has its own STATIC window width
+    (x-offsets wide, y/z narrow), cutting both DMA bytes and onehot-matmul
+    FLOPs vs a uniform worst-case window."""
 
     def kernel(bases_ref, *refs):
-        # refs: rel_0..rel_{K-1}, feat, weights, out, win(K), acc, sem(K)
+        # refs: rel_0..rel_{K-1}, feat, weights, out, win_0..win_{K-1},
+        #       acc, sem(K)
         rels = refs[:n_off]
         feat_ref = refs[n_off]
         w_ref = refs[n_off + 1]
         out_ref = refs[n_off + 2]
-        win = refs[n_off + 3]
-        acc = refs[n_off + 4]
-        sem = refs[n_off + 5]
+        wins = refs[n_off + 3 : n_off + 3 + n_off]
+        acc = refs[2 * n_off + 3]
+        sem = refs[2 * n_off + 4]
         kb = pl.program_id(0)
 
         def dma(o):
             base = pl.multiple_of(bases_ref[kb, o], 16)  # host 16-aligns bases
             return pltpu.make_async_copy(
-                feat_ref.at[pl.ds(base, window)],
-                win.at[o],
+                feat_ref.at[pl.ds(base, windows[o])],
+                wins[o],
                 sem.at[o],
             )
 
@@ -115,13 +123,13 @@ def _make_kernel(n_off: int, window: int, dtype=jnp.bfloat16):
             dma(o).wait()
             rel = rels[o][0]  # (sub, LANE) int32
             iota = jax.lax.broadcasted_iota(
-                jnp.int32, (*rel.shape, window), 2
+                jnp.int32, (*rel.shape, windows[o]), 2
             )
             onehot = (rel[:, :, None] == iota).astype(dtype)
             # (SUB, LANE, W) x (W, C) -> (SUB, LANE, C)
             g = jax.lax.dot_general(
                 onehot,
-                win[o].astype(dtype),
+                wins[o][...].astype(dtype),
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -143,12 +151,18 @@ def subm_conv_pallas(
     weights: jnp.ndarray,  # (K, C, Cout)
     miss_idx: jnp.ndarray | None = None,  # (K, V) or None
     n_miss: int = 0,
-    window: int = WINDOW,
+    window=WINDOW,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused banded subm conv. Returns (V, Cout) fp32."""
+    """Fused banded subm conv. Returns (V, Cout) fp32.
+
+    `window`: int or (K,) per-offset widths — must match the widths the host
+    rulebook was built with."""
     v, c = features.shape
     k = weights.shape[0]
+    windows = tuple(
+        int(w) for w in np.broadcast_to(np.asarray(window), (k,))
+    )
     nb = rulebook_bases.shape[0]
     block = v // nb
     sub = block // _LANE
@@ -156,7 +170,7 @@ def subm_conv_pallas(
     # Mosaic window DMAs must cover full 128-lane tiles: pad the channel dim
     # (zero weight rows keep the math exact).
     c_pad = -(-c // 128) * 128
-    feat_pad = jnp.pad(features, ((0, window), (0, c_pad - c)))
+    feat_pad = jnp.pad(features, ((0, max(windows)), (0, c_pad - c)))
     weights_k = jnp.pad(weights, ((0, 0), (0, c_pad - c), (0, 0)))
     c = c_pad
     rel_tiled = rulebook_rel.reshape(k, nb, sub, _LANE)
@@ -180,7 +194,7 @@ def subm_conv_pallas(
             (1, sub, _LANE, cout), lambda kb, bases: (kb, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((k, window, c), features.dtype),
+            *[pltpu.VMEM((w, c), features.dtype) for w in windows],
             pltpu.VMEM((sub, _LANE, cout), jnp.float32),
             pltpu.SemaphoreType.DMA((k,)),
         ],
@@ -191,7 +205,7 @@ def subm_conv_pallas(
         jnp.float32 if features.dtype == jnp.float32 else jnp.bfloat16
     )
     out = pl.pallas_call(
-        _make_kernel(k, window, kdtype),
+        _make_kernel(k, windows, kdtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, sub, _LANE, cout), jnp.float32),
         interpret=interpret,
@@ -274,11 +288,16 @@ def subm_conv_dw_pallas(
     rulebook_bases: jnp.ndarray,  # (nB, K)
     rulebook_rel: jnp.ndarray,  # (K, V)
     k: int,
-    window: int = WINDOW,
+    window=WINDOW,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Banded weight gradient: dW[o] = sum_i feat[nbr(i,o)]^T grad[i].
-    Returns (K, C, Cout) fp32 (un-padded)."""
+    Returns (K, C, Cout) fp32 (un-padded).
+
+    The offset axis is a GRID dim here, so the window buffer is uniform:
+    max over the per-offset widths (rel entries always fit — they were
+    built against the per-offset widths, each <= the max)."""
+    window = int(np.max(np.asarray(window)))
     v, c = features.shape
     cout = grad_out.shape[-1]
     nb = rulebook_bases.shape[0]
