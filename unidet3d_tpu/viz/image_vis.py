@@ -54,6 +54,41 @@ def draw_points_on_img(
     return img
 
 
+def draw_depth_bbox3d_on_img(
+    boxes: np.ndarray, img: np.ndarray, calib: np.ndarray,
+    extrinsic: np.ndarray | None = None, color=(0, 255, 0),
+):
+    """Depth-frame variant (ref image_vis.py:128-165): boxes live in the
+    depth/world frame; an optional depth->camera extrinsic composes with the
+    calib intrinsics before projection."""
+    proj = np.asarray(calib, np.float64)
+    if proj.shape == (3, 3):
+        p = np.eye(4)
+        p[:3, :3] = proj
+        proj = p
+    if extrinsic is not None:
+        proj = proj @ np.asarray(extrinsic, np.float64)
+    return draw_bbox3d_on_img(boxes, img, proj, color=color)
+
+
+def draw_lidar_bbox3d_on_img(
+    boxes: np.ndarray, img: np.ndarray, lidar2img: np.ndarray,
+    color=(0, 255, 0),
+):
+    """Lidar-frame variant (ref image_vis.py:89-125): a single (4, 4)
+    lidar->image matrix carries the whole transform."""
+    return draw_bbox3d_on_img(boxes, img, lidar2img, color=color)
+
+
+def draw_camera_bbox3d_on_img(
+    boxes: np.ndarray, img: np.ndarray, cam2img: np.ndarray,
+    color=(0, 255, 0),
+):
+    """Camera-frame variant (ref image_vis.py:168-205): boxes already in
+    camera coordinates, projected by the (3, 3)|(4, 4) intrinsics."""
+    return draw_depth_bbox3d_on_img(boxes, img, cam2img, None, color=color)
+
+
 def draw_bbox3d_on_img(
     boxes: np.ndarray, img: np.ndarray, proj_mat: np.ndarray,
     color=(0, 255, 255),
