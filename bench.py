@@ -50,13 +50,11 @@ def _bench_forward(cfg, iters=20):
     from unidet3d_tpu.data.batcher import build_packs
 
     model = ge._build(cfg)
-    batch_np, _ = ge._synthetic_inputs(cfg, b=1)
-    # Keep host arrays for the pack build (device fetches over the relay
-    # would dominate the measurement).
-    vox_src = np.asarray(batch_np.vox_src)
-    valid = np.asarray(batch_np.valid)
+    # Host arrays end-to-end for the pack build (device fetches over the
+    # relay would dominate the measurement).
+    batch_np, _ = ge._synthetic_inputs(cfg, b=1, as_numpy=True)
     t0 = time.perf_counter()
-    pack_np = build_packs(vox_src, valid, cfg, n_shards=1)
+    pack_np = build_packs(batch_np.vox_src, batch_np.valid, cfg, n_shards=1)
     t_pack = time.perf_counter() - t0
     batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
     pack = jax.tree_util.tree_map(jnp.asarray, pack_np)
@@ -105,6 +103,7 @@ def main():
     cfg_small = default_config(
         max_points=32768, voxel_capacity=32768, max_superpoints=1024,
         max_gts=64,
+        subm_impl="xla",  # fastest at 32k; keeps round-1 continuity
     )
     ms_small, _ = _bench_forward(cfg_small, iters=10)
 

@@ -32,15 +32,19 @@ def main(subm_impl: str = "xla"):
     model = ge._build(cfg)
     mesh = create_mesh(1)
     opt = make_optimizer(total_steps=100)
-    batch, gt = ge._synthetic_inputs(cfg, b=8)
+    # Host arrays: the pack build runs from loader-thread numpy in
+    # production; fetching device buffers back over the relay costs minutes.
+    batch_np, gt_np = ge._synthetic_inputs(cfg, b=8, as_numpy=True)
     t0 = time.perf_counter()
-    pack_np = build_packs(
-        np.asarray(batch.vox_src), np.asarray(batch.valid), cfg, n_shards=1
-    )
+    pack_np = build_packs(batch_np.vox_src, batch_np.valid, cfg, n_shards=1)
+    print(f"host rulebooks: {time.perf_counter()-t0:.2f} s", flush=True)
+    import jax.numpy as jnp
+
+    batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
+    gt = jax.tree_util.tree_map(jnp.asarray, gt_np)
     # Single-device mesh still uses the stacked transport form (n_shards
     # leading dim == mesh size).
     pack = jax.tree_util.tree_map(lambda x: np.asarray(x)[None], pack_np)
-    print(f"host rulebooks: {time.perf_counter()-t0:.2f} s", flush=True)
 
     t0 = time.perf_counter()
     state = init_state(

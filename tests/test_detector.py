@@ -35,6 +35,10 @@ def small_config(**kw):
         max_superpoints=48,
         max_gts=8,
         topk_insts=64,
+        # Tiny capacities: the XLA gather conv is the production choice at
+        # this scale (config.subm_impl doc) and avoids interpret-mode pallas
+        # on the CPU test backend; the pallas path has its own tests.
+        subm_impl="xla",
     )
     base.update(kw)
     return default_config(**base)

@@ -113,8 +113,9 @@ def test_banded_conv_custom_vjp_matches_xla_grads():
 
     def loss_banded(feat, weights):
         out = subm_conv_banded(
-            128, True, feat, weights,
+            128, None, True, feat, weights,
             jnp.asarray(rb.bases), jnp.asarray(rb.rel),
+            jnp.asarray(rb.sub_offs),
             jnp.asarray(ml.rows), jnp.asarray(ml.nbrs), jnp.asarray(ml.offs),
         )
         return jnp.sum(out * gdir)
@@ -166,8 +167,9 @@ def test_per_offset_windows_match_gather_form_with_grads():
 
     def loss_banded(feat, weights):
         out = subm_conv_banded(
-            windows, True, feat, weights,
+            windows, None, True, feat, weights,
             jnp.asarray(rb.bases), jnp.asarray(rb.rel),
+            jnp.asarray(rb.sub_offs),
             jnp.asarray(ml.rows), jnp.asarray(ml.nbrs), jnp.asarray(ml.offs),
         )
         return jnp.sum(out * gdir)
@@ -202,3 +204,84 @@ def test_level_conv_windows_config():
     x0 = wins[0][0]
     x_last = wins[-1][0]
     assert x0 == 1536 and x_last == 576
+
+
+def test_two_level_banding_matches_gather_form_with_grads():
+    """Subgroup-rebased onehot (wsub < window) + per-offset widths: value
+    and grads vs the XLA gather form, misses exercised. Integer inputs ->
+    exact in bf16."""
+    import jax
+    from unidet3d_tpu.ops.pallas_conv import build_miss_list, subm_conv_banded
+
+    rng = np.random.RandomState(23)
+    grid, _, nbr, _ = _setup()
+    cap, cin, cout = 1024, 8, 16
+    vf = jnp.asarray(rng.randint(-3, 4, (cap, cin)).astype(np.float32))
+    w = jnp.asarray(rng.randint(-2, 3, (27, cin, cout)).astype(np.float32))
+    windows = tuple(512 if o // 9 != 1 else 256 for o in range(27))
+    wsubs = tuple(144 if o // 9 != 1 else 80 for o in range(27))
+    rb = build_banded_rulebook(
+        nbr, cap, block=128, window=np.array(windows), wsub=np.array(wsubs)
+    )
+    # rel must honour the narrow subgroup widths.
+    for o in range(27):
+        assert rb.rel[o].max() < wsubs[o]
+    assert rb.sub_offs.shape[1] == 1  # block 128 -> single 2-sublane group
+    ml = build_miss_list(rb.miss_idx, cap, miss_cap=4096)
+
+    nv = int(grid.n_voxels)
+    mask = (np.arange(cap) < nv)[:, None]
+    gdir = jnp.asarray(
+        rng.randint(-2, 3, (cap, cout)).astype(np.float32)
+    ) * mask
+    nbr_j = jnp.asarray(nbr)
+
+    def loss_ref(feat, weights):
+        return jnp.sum(subm_conv(feat, nbr_j, weights) * gdir)
+
+    def loss_banded(feat, weights):
+        out = subm_conv_banded(
+            windows, wsubs, True, feat, weights,
+            jnp.asarray(rb.bases), jnp.asarray(rb.rel),
+            jnp.asarray(rb.sub_offs),
+            jnp.asarray(ml.rows), jnp.asarray(ml.nbrs), jnp.asarray(ml.offs),
+        )
+        return jnp.sum(out * gdir)
+
+    v_ref, (gf_ref, gw_ref) = jax.value_and_grad(loss_ref, argnums=(0, 1))(
+        vf, w
+    )
+    v_b, (gf_b, gw_b) = jax.value_and_grad(loss_banded, argnums=(0, 1))(
+        vf, w
+    )
+    np.testing.assert_allclose(float(v_b), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gf_b)[:nv], np.asarray(gf_ref)[:nv], atol=1e-3
+    )
+    np.testing.assert_allclose(np.asarray(gw_b), np.asarray(gw_ref), atol=1e-3)
+
+
+def test_two_level_multi_subgroup_block():
+    """block 512 -> 4 subgroups; two-level value parity, interpret mode."""
+    from unidet3d_tpu.ops.pallas_conv import build_miss_list, subm_conv_banded
+
+    rng = np.random.RandomState(5)
+    grid, vf, nbr, w = _setup(n=900, cap=1024)
+    windows = tuple(512 if o // 9 != 1 else 256 for o in range(27))
+    wsubs = tuple(160 if o // 9 != 1 else 96 for o in range(27))
+    rb = build_banded_rulebook(
+        nbr, 1024, block=512, window=np.array(windows), wsub=np.array(wsubs)
+    )
+    assert rb.sub_offs.shape == (2, 4, 27)
+    ml = build_miss_list(rb.miss_idx, 1024, miss_cap=8192)
+    ref = np.asarray(subm_conv(vf, jnp.asarray(nbr), jnp.asarray(w)))
+    out = np.asarray(
+        subm_conv_banded(
+            windows, wsubs, True, vf, jnp.asarray(w),
+            jnp.asarray(rb.bases), jnp.asarray(rb.rel),
+            jnp.asarray(rb.sub_offs),
+            jnp.asarray(ml.rows), jnp.asarray(ml.nbrs), jnp.asarray(ml.offs),
+        )
+    )
+    nv = int(grid.n_voxels)
+    np.testing.assert_allclose(out[:nv], ref[:nv], rtol=5e-2, atol=1e-1)

@@ -269,7 +269,8 @@ def test_voxelize_me_average_dedup_and_min_shift():
     rng = np.random.RandomState(1)
     n, cap = 500, 1024
     cfg = default_config(
-        max_points=n, voxel_capacity=cap, num_planes=(8, 16)
+        max_points=n, voxel_capacity=cap, num_planes=(8, 16),
+        subm_impl="xla",  # voxelize-only test; skip the banded pack build
     )
     pts = (rng.rand(1, n, 3) * 3).astype(np.float32)
     vox_src = pts / cfg.voxel_size

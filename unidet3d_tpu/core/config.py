@@ -65,8 +65,12 @@ class ModelConfig:
     # dominant HBM gather traffic; accumulation stays fp32).
     compute_dtype: str = "bfloat16"
     # Submanifold conv implementation: 'xla' (gather form) or 'pallas'
-    # (banded fused kernel, requires host-built BandedPack rulebooks).
-    subm_impl: str = "xla"
+    # (two-level banded fused kernel, requires host-built BandedPack
+    # rulebooks). At production capacities (131k voxels) the two-level
+    # pallas kernel beats the XLA gather form end-to-end (146 vs 152 ms
+    # full forward on a v5 lite chip — docs/PERF_NOTES.md); at small voxel
+    # counts (32k) XLA still wins, so small-scale tools override to 'xla'.
+    subm_impl: str = "pallas"
     # Pallas banded-conv windows, PER OFFSET CLASS. In (batch, x, y, z)
     # sorted order the y/z/center offsets drift by at most a z-run
     # (~tens of rows; 576 = block 512 + 16-align slack + margin), while
@@ -74,6 +78,12 @@ class ModelConfig:
     # to x make the tail long — the residue goes to the compact miss list).
     conv_window: int = 576  # y/z/center offsets
     conv_window_x: int = 1536  # x offsets at full resolution
+    # Second banding level: per-SUBGROUP (128 consecutive rows) onehot
+    # widths — drift across 128 rows is far smaller than across a 512
+    # block, so the dominant onehot matmul shrinks 3-4x while the window
+    # DMA stays block-wide.
+    conv_wsub: int = 192  # y/z/center offsets
+    conv_wsub_x: int = 384  # x offsets
     conv_miss_cap: int = 16384  # compact out-of-window correction capacity
 
     @property
@@ -106,9 +116,26 @@ class ModelConfig:
         for cap in self.level_capacities(1):
             block = min(512, cap)
             wyzc = a16(max(block + 64, min(self.conv_window, a16(cap + 16))))
-            wx = a16(max(wyzc, min(self.conv_window_x, max(cap // 16, wyzc))))
+            # cap//32 keeps the 18 x-window VMEM buffers within the ~16 MB
+            # scoped-vmem budget even at the widest tail-conv channel pads
+            # (c_pad 256 at the concat convs).
+            wx = a16(max(wyzc, min(self.conv_window_x, max(cap // 32, wyzc))))
             out.append(
                 tuple(wx if (o // 9 != 1) else wyzc for o in range(27))
+            )
+        return tuple(out)
+
+    def level_conv_subwindows(self) -> Tuple[Tuple[int, ...], ...]:
+        """Per-level (27,) subgroup onehot widths, each clamped to that
+        level's window so the host rulebook and kernel stay consistent."""
+        out = []
+        for w27 in self.level_conv_windows():
+            out.append(
+                tuple(
+                    min(self.conv_wsub_x if (o // 9 != 1) else self.conv_wsub,
+                        w27[o])
+                    for o in range(27)
+                )
             )
         return tuple(out)
 

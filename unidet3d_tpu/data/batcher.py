@@ -131,6 +131,7 @@ def _build_one_pack(vox_src, valid, cfg: ModelConfig):
 
         banded = build_banded_pack(
             pack, caps, window=cfg.level_conv_windows(),
+            wsub=cfg.level_conv_subwindows(),
             miss_cap=cfg.conv_miss_cap,
         )
         pack = pack._replace(banded=banded)

@@ -146,6 +146,7 @@ class UniDet3DTPU(nn.Module):
             axis_name=cfg.axis_name,
             dtype=jnp.dtype(cfg.compute_dtype),
             conv_window=cfg.level_conv_windows(),
+            conv_wsub=cfg.level_conv_subwindows(),
             name="backbone",
         )(vox_feats, pack, train)
 

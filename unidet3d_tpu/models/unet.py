@@ -41,6 +41,7 @@ class SubmConv(nn.Module):
     # Static pallas window width(s): int or (27,) per-offset tuple (must NOT
     # ride in the banded tuple — remat would turn it into a tracer).
     conv_window: int | tuple = 576
+    conv_wsub: int | tuple | None = None  # subgroup onehot width(s)
 
     @nn.compact
     def __call__(
@@ -54,13 +55,14 @@ class SubmConv(nn.Module):
 
             from ..ops.pallas_conv import subm_conv_banded
 
-            bases, rel, mrows, mnbrs, moffs = banded
+            bases, sub_offs, rel, mrows, mnbrs, moffs = banded
             # Differentiable fused kernel (custom VJP) — forward AND backward
             # run banded pallas, no XLA row gathers in training.
             return subm_conv_banded(
-                self.conv_window, jax.default_backend() != "tpu",
+                self.conv_window, self.conv_wsub,
+                jax.default_backend() != "tpu",
                 x.astype(self.dtype), w,
-                bases, rel, mrows, mnbrs, moffs,
+                bases, rel, sub_offs, mrows, mnbrs, moffs,
             )
         return subm_conv(x.astype(self.dtype), neighbors, w.astype(self.dtype))
 
@@ -76,6 +78,7 @@ class ResidualBlock(nn.Module):
     axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32
     conv_window: int | tuple = 576  # int or (27,) per-offset widths
+    conv_wsub: int | tuple | None = None
 
     @nn.compact
     def __call__(self, x, mask, neighbors, train: bool, banded=None):
@@ -97,7 +100,8 @@ class ResidualBlock(nn.Module):
         )
         h = nn.relu(h)
         h = SubmConv(self.out_channels, dtype=self.dtype,
-                     conv_window=self.conv_window, name="conv1")(
+                     conv_window=self.conv_window, conv_wsub=self.conv_wsub,
+                     name="conv1")(
             h, neighbors, banded
         )
         h = MaskedBatchNorm(
@@ -105,7 +109,8 @@ class ResidualBlock(nn.Module):
         )(h, mask, use_running_average=not train)
         h = nn.relu(h)
         h = SubmConv(self.out_channels, dtype=self.dtype,
-                     conv_window=self.conv_window, name="conv2")(
+                     conv_window=self.conv_window, conv_wsub=self.conv_wsub,
+                     name="conv2")(
             h, neighbors, banded
         )
         return h + identity
@@ -126,8 +131,10 @@ class SpConvUNet(nn.Module):
     remat: bool = True  # rematerialise residual blocks in training backward
     # Pallas conv windows (when pack.banded given): int (uniform) or a
     # per-level tuple whose entries are an int or (27,) per-offset widths
-    # (ModelConfig.level_conv_windows) — must match the host pack build.
+    # (ModelConfig.level_conv_windows/subwindows) — must match the host
+    # pack build.
     conv_window: int | tuple = 576
+    conv_wsub: int | tuple | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pack: GridPack, train: bool):
@@ -145,12 +152,16 @@ class SpConvUNet(nn.Module):
             w = self.conv_window
             return w[lvl] if isinstance(w, tuple) else w
 
+        def level_wsub(lvl):
+            w = self.conv_wsub
+            return w[lvl] if isinstance(w, tuple) else w
+
         def level_banded(lvl):
             b = pack.banded
             if b is None:
                 return None
             return (
-                b.bases[lvl], b.rel[lvl], b.miss_rows[lvl],
+                b.bases[lvl], b.sub_offs[lvl], b.rel[lvl], b.miss_rows[lvl],
                 b.miss_nbrs[lvl], b.miss_offs[lvl],
             )
 
@@ -165,6 +176,7 @@ class SpConvUNet(nn.Module):
                     axis_name=self.axis_name,
                     dtype=self.dtype,
                     conv_window=level_window(lvl),
+                    conv_wsub=level_wsub(lvl),
                     name=f"level{lvl}_block{i}",
                 )(x, mask, nbr, train, level_banded(lvl))
             if lvl < levels - 1:
@@ -219,6 +231,7 @@ class SpConvUNet(nn.Module):
                     axis_name=self.axis_name,
                     dtype=self.dtype,
                     conv_window=level_window(lvl),
+                    conv_wsub=level_wsub(lvl),
                     name=f"level{lvl}_tail{i}",
                 )(x, mask, nbr, train, level_banded(lvl))
         return x
@@ -231,6 +244,7 @@ class UNetBackbone(nn.Module):
     axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32
     conv_window: int | tuple = 576  # see SpConvUNet.conv_window
+    conv_wsub: int | tuple | None = None
 
     @nn.compact
     def __call__(self, vox_feats: jnp.ndarray, pack: GridPack, train: bool):
@@ -238,16 +252,17 @@ class UNetBackbone(nn.Module):
         if pack.banded is not None:
             bd = pack.banded
             b0 = (
-                bd.bases[0], bd.rel[0], bd.miss_rows[0], bd.miss_nbrs[0],
-                bd.miss_offs[0],
+                bd.bases[0], bd.sub_offs[0], bd.rel[0], bd.miss_rows[0],
+                bd.miss_nbrs[0], bd.miss_offs[0],
             )
-        w0 = (
-            self.conv_window[0]
-            if isinstance(self.conv_window, tuple)
-            else self.conv_window
-        )
+
+        def lvl0(w):
+            return w[0] if isinstance(w, tuple) else w
+
         x = SubmConv(self.num_planes[0], dtype=self.dtype,
-                     conv_window=w0, name="input_conv")(
+                     conv_window=lvl0(self.conv_window),
+                     conv_wsub=lvl0(self.conv_wsub),
+                     name="input_conv")(
             vox_feats, pack.neighbors[0], b0
         )
         x = SpConvUNet(
@@ -255,6 +270,7 @@ class UNetBackbone(nn.Module):
             axis_name=self.axis_name,
             dtype=self.dtype,
             conv_window=self.conv_window,
+            conv_wsub=self.conv_wsub,
             name="unet",
         )(x, pack, train)
         x = MaskedBatchNorm(

@@ -233,12 +233,13 @@ def quantize_points(vox_src: np.ndarray, valid: np.ndarray) -> np.ndarray:
 
 
 class BandedPack(NamedTuple):
-    """Per-level banded rulebooks for the pallas subm conv (see
+    """Per-level two-level banded rulebooks for the pallas subm conv (see
     ops/pallas_conv.py). All leaves are arrays (pytree-safe):
-    bases[l]: (nB_l, 27); rel[l]: (27, V_l);
-    miss_rows/miss_nbrs/miss_offs[l]: (M,) compact out-of-window lists."""
+    bases[l]: (nB_l, 27); sub_offs[l]: (nB_l, nS, 27); rel[l]: (27, V_l);
+    miss_rows/miss_nbrs/miss_offs[l]: (M,) compact out-of-band lists."""
 
     bases: tuple
+    sub_offs: tuple
     rel: tuple
     miss_rows: tuple
     miss_nbrs: tuple
@@ -249,34 +250,44 @@ def build_banded_pack(
     pack: GridPack,
     capacities,
     block: int = 512,
-    window=512,
+    window=576,
+    wsub=None,
     miss_cap: int = 16384,
 ) -> BandedPack:
     """Host-side: convert every level's neighbor table to banded form.
 
-    `window`: int (uniform), or a per-level sequence whose entries are an int
-    or a (K,) per-offset width tuple (ModelConfig.level_conv_windows)."""
+    `window` / `wsub`: int (uniform), or per-level sequences whose entries
+    are an int or a (K,) per-offset width tuple
+    (ModelConfig.level_conv_windows / level_conv_subwindows)."""
     from .pallas_conv import build_banded_rulebook, build_miss_list
 
-    if np.isscalar(window):
-        windows = [window] * len(capacities)
-    else:
-        windows = list(window)
-        assert len(windows) == len(capacities), (len(windows), len(capacities))
+    def per_level(w):
+        if w is None or np.isscalar(w):
+            return [w] * len(capacities)
+        w = list(w)
+        assert len(w) == len(capacities), (len(w), len(capacities))
+        return w
 
-    bases, rel, mr, mn, mo = [], [], [], [], []
+    windows = per_level(window)
+    wsubs = per_level(wsub)
+
+    bases, soffs, rel, mr, mn, mo = [], [], [], [], [], []
     for lvl, cap in enumerate(capacities):
         nbr = np.asarray(pack.neighbors[lvl])
         b = min(block, cap)
-        rb = build_banded_rulebook(nbr, cap, block=b, window=windows[lvl])
+        rb = build_banded_rulebook(
+            nbr, cap, block=b, window=windows[lvl], wsub=wsubs[lvl]
+        )
         ml = build_miss_list(rb.miss_idx, cap, miss_cap)
         bases.append(rb.bases)
+        soffs.append(rb.sub_offs)
         rel.append(rb.rel)
         mr.append(ml.rows)
         mn.append(ml.nbrs)
         mo.append(ml.offs)
     return BandedPack(
         bases=tuple(bases),
+        sub_offs=tuple(soffs),
         rel=tuple(rel),
         miss_rows=tuple(mr),
         miss_nbrs=tuple(mn),

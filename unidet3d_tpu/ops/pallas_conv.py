@@ -38,35 +38,61 @@ assert BLOCK % _LANE == 0
 
 
 class BandedRulebook(NamedTuple):
-    """Host-built banded rulebook for one level's subm conv.
+    """Host-built TWO-LEVEL banded rulebook for one level's subm conv.
 
-    bases: (nB, K) int32 window base row per (block, offset).
-    rel: (K, V) int32 in-window relative index, -1 = no contribution.
-    miss_idx: (K, V) int32 original neighbor row for out-of-window entries,
-        sentinel V for the rest (used by the rare fallback path).
-    n_miss: int (python) — total out-of-window entries.
+    Level 1 (DMA): per (block, offset) a window base covering the whole
+    block's neighbors — one contiguous HBM->VMEM copy.
+    Level 2 (compute): per (block, SUBGROUP, offset) an offset INTO that
+    window; rel indices are rebased per subgroup, so the onehot matmul is
+    only `wsub` wide instead of the full window (3-4x fewer MXU/VPU FLOPs —
+    drift across 128 consecutive rows is far smaller than across 512).
+
+    bases: (nB, K) int32 window base row per (block, offset), 16-aligned.
+    sub_offs: (nB, nS, K) int32 subgroup start WITHIN the window, 16-aligned,
+        in [0, window - wsub].
+    rel: (K, V) int32 subgroup-relative index in [0, wsub), -1 = none.
+    miss_idx: (K, V) int32 original neighbor row for out-of-band entries,
+        sentinel V elsewhere.
+    n_miss: int (python) — total out-of-band entries.
     """
 
     bases: np.ndarray
+    sub_offs: np.ndarray
     rel: np.ndarray
     miss_idx: np.ndarray
     n_miss: int
 
 
+def n_subgroups(block: int) -> int:
+    """Subgroups of 2 sublane rows (128 voxels) per block; degenerate to a
+    single group for small blocks."""
+    sub = block // _LANE
+    return max(sub // 2, 1)
+
+
 def build_banded_rulebook(
     neighbors: np.ndarray, capacity: int, block: int = BLOCK,
-    window=WINDOW,
+    window=WINDOW, wsub=None,
 ) -> BandedRulebook:
-    """Convert a (V, K) neighbor table (sentinel = capacity) into the banded
-    form. numpy, vectorised; runs in the input pipeline.
+    """Convert a (V, K) neighbor table (sentinel = capacity) into the
+    two-level banded form. numpy, vectorised; runs in the input pipeline.
 
-    `window` may be an int (uniform) or a (K,) sequence of PER-OFFSET widths
-    (x-offsets drift a whole x-slab, y/z-offsets only a z-run — see
-    ModelConfig.level_conv_windows)."""
+    `window` (DMA width) and `wsub` (onehot width) may each be an int or a
+    (K,) per-offset sequence (x-offsets drift a whole x-slab, y/z-offsets
+    only a z-run — see ModelConfig.level_conv_windows / subwindows).
+    wsub=None uses the full window (single-level behaviour)."""
     v, k = neighbors.shape
     assert v % block == 0, (v, block)
     windows = np.broadcast_to(np.asarray(window, np.int64), (k,))
+    if wsub is None:
+        wsubs = windows
+    else:
+        wsubs = np.minimum(
+            np.broadcast_to(np.asarray(wsub, np.int64), (k,)), windows
+        )
     nb = v // block
+    ns = n_subgroups(block)
+    sub_rows = block // ns
     idx = neighbors.reshape(nb, block, k)
     valid = idx < capacity
     big = np.where(valid, idx, np.iinfo(np.int32).max)
@@ -75,28 +101,46 @@ def build_banded_rulebook(
     bases = np.minimum(bases, max(capacity - 1, 0))
     bases = (bases - (bases % 16)).astype(np.int32)  # sublane-aligned DMA
     # (16 covers bf16 (16,128) tiling; f32 (8,128) needs only 8.)
-    rel = idx - bases[:, None, :]
-    in_win = valid & (rel >= 0) & (rel < windows[None, None, :])
-    rel = np.where(in_win, rel, -1).astype(np.int32)
-    miss = valid & ~in_win
-    miss_idx = np.where(miss, idx, capacity).astype(np.int32)
-    # (nB, block, K) -> (K, V)
+
+    # Subgroup bases, clamped into the window.
+    big_s = big.reshape(nb, ns, sub_rows, k)
+    sbase = big_s.min(axis=2)  # (nB, nS, K)
+    sbase = np.where(sbase == np.iinfo(np.int32).max, 0, sbase)
+    sub_offs = sbase - bases[:, None, :]
+    sub_offs = sub_offs - (sub_offs % 16)  # aligned dynamic sublane slice
+    lim = (windows - wsubs)[None, None, :]
+    sub_offs = np.clip(sub_offs, 0, np.maximum(lim, 0)).astype(np.int32)
+
+    rel = idx.reshape(nb, ns, sub_rows, k) - (
+        bases[:, None, :] + sub_offs
+    )[:, :, None, :]
+    in_band = valid.reshape(nb, ns, sub_rows, k) & (rel >= 0) & (
+        rel < wsubs[None, None, None, :]
+    )
+    rel = np.where(in_band, rel, -1).astype(np.int32)
+    miss = valid.reshape(nb, ns, sub_rows, k) & ~in_band
+    miss_idx = np.where(
+        miss, idx.reshape(nb, ns, sub_rows, k), capacity
+    ).astype(np.int32)
+    # (nB, nS, sub_rows, K) -> (K, V)
     rel = np.ascontiguousarray(rel.reshape(v, k).T)
     miss_idx = np.ascontiguousarray(miss_idx.reshape(v, k).T)
     return BandedRulebook(
-        bases=bases, rel=rel, miss_idx=miss_idx, n_miss=int(miss.sum())
+        bases=bases, sub_offs=sub_offs, rel=rel, miss_idx=miss_idx,
+        n_miss=int(miss.sum()),
     )
 
 
-def _make_kernel(n_off: int, windows: tuple, dtype=jnp.bfloat16):
-    """Burst-mode kernel: all K window DMAs for a block are launched at once
-    (one buffer + semaphore per offset), then the compute loop drains them —
-    the per-step DMA latency is fully hidden and each grid step carries
-    K x 2 MXU calls of work. Each offset has its own STATIC window width
-    (x-offsets wide, y/z narrow), cutting both DMA bytes and onehot-matmul
-    FLOPs vs a uniform worst-case window."""
+def _make_kernel(n_off: int, windows: tuple, wsubs: tuple, n_sub: int,
+                 dtype=jnp.bfloat16):
+    """Burst-mode TWO-LEVEL kernel: all K window DMAs for a block launch at
+    once (one buffer + semaphore per offset), then the compute loop drains
+    them. Per offset the block's rows are processed in `n_sub` subgroups of
+    2 sublane rows (128 voxels); each subgroup's onehot matmul reads only a
+    `wsub`-wide dynamic slice of the window (host-rebased rel), cutting the
+    dominant onehot FLOPs 3-4x vs matching the whole window."""
 
-    def kernel(bases_ref, *refs):
+    def kernel(bases_ref, sub_offs_ref, *refs):
         # refs: rel_0..rel_{K-1}, feat, weights, out, win_0..win_{K-1},
         #       acc, sem(K)
         rels = refs[:n_off]
@@ -122,23 +166,29 @@ def _make_kernel(n_off: int, windows: tuple, dtype=jnp.bfloat16):
         for o in range(n_off):
             dma(o).wait()
             rel = rels[o][0]  # (sub, LANE) int32
-            iota = jax.lax.broadcasted_iota(
-                jnp.int32, (*rel.shape, windows[o]), 2
-            )
-            onehot = (rel[:, :, None] == iota).astype(dtype)
-            # (SUB, LANE, W) x (W, C) -> (SUB, LANE, C)
-            g = jax.lax.dot_general(
-                onehot,
-                wins[o][...].astype(dtype),
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc[...] += jax.lax.dot_general(
-                g.astype(dtype),
-                w_ref[o].astype(dtype),
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            sub = rel.shape[0]
+            rows = sub // n_sub  # sublane rows per subgroup
+            for sg in range(n_sub):
+                off = pl.multiple_of(sub_offs_ref[kb, sg, o], 16)
+                wslice = wins[o][pl.ds(off, wsubs[o]), :].astype(dtype)
+                rel_sg = rel[sg * rows : (sg + 1) * rows]  # (rows, LANE)
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (*rel_sg.shape, wsubs[o]), 2
+                )
+                onehot = (rel_sg[:, :, None] == iota).astype(dtype)
+                # (rows, LANE, Wsub) x (Wsub, C) -> (rows, LANE, C)
+                g = jax.lax.dot_general(
+                    onehot,
+                    wslice,
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc[sg * rows : (sg + 1) * rows] += jax.lax.dot_general(
+                    g.astype(dtype),
+                    w_ref[o].astype(dtype),
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
         out_ref[0] = acc[...]
 
     return kernel
@@ -152,20 +202,34 @@ def subm_conv_pallas(
     miss_idx: jnp.ndarray | None = None,  # (K, V) or None
     n_miss: int = 0,
     window=WINDOW,
+    wsub=None,
+    sub_offs: jnp.ndarray | None = None,  # (nB, nS, K)
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused banded subm conv. Returns (V, Cout) fp32.
+    """Fused two-level banded subm conv. Returns (V, Cout) fp32.
 
-    `window`: int or (K,) per-offset widths — must match the widths the host
-    rulebook was built with."""
+    `window` (DMA) and `wsub` (onehot) are ints or (K,) per-offset widths —
+    must match what the host rulebook was built with. wsub=None / missing
+    sub_offs degenerates to single-level (wsub = window, offsets 0)."""
     v, c = features.shape
     k = weights.shape[0]
     windows = tuple(
         int(w) for w in np.broadcast_to(np.asarray(window), (k,))
     )
+    if wsub is None:
+        wsubs = windows
+    else:
+        wsubs = tuple(
+            min(int(w), windows[i])
+            for i, w in enumerate(np.broadcast_to(np.asarray(wsub), (k,)))
+        )
     nb = rulebook_bases.shape[0]
     block = v // nb
     sub = block // _LANE
+    ns = n_subgroups(block)
+    if sub_offs is None:
+        sub_offs = jnp.zeros((nb, ns, k), jnp.int32)
+        wsubs = windows
     cout = weights.shape[-1]
     # Mosaic window DMAs must cover full 128-lane tiles: pad the channel dim
     # (zero weight rows keep the math exact).
@@ -176,22 +240,22 @@ def subm_conv_pallas(
     rel_tiled = rulebook_rel.reshape(k, nb, sub, _LANE)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # bases
+        num_scalar_prefetch=2,  # bases, sub_offs
         grid=(nb,),
         in_specs=[
             *[
                 pl.BlockSpec(
                     (1, sub, _LANE),
-                    (lambda kb, bases, _o=o: (kb, 0, 0)),
+                    (lambda kb, bases, soffs, _o=o: (kb, 0, 0)),
                 )
                 for o in range(k)
             ],
             pl.BlockSpec(memory_space=pl.ANY),  # feat (HBM)
             # weights fully resident in VMEM (<= 27*160*160*4 = 2.7 MB).
-            pl.BlockSpec((k, c, cout), lambda kb, bases: (0, 0, 0)),
+            pl.BlockSpec((k, c, cout), lambda kb, bases, soffs: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, sub, _LANE, cout), lambda kb, bases: (kb, 0, 0, 0)
+            (1, sub, _LANE, cout), lambda kb, bases, soffs: (kb, 0, 0, 0)
         ),
         scratch_shapes=[
             *[pltpu.VMEM((w, c), features.dtype) for w in windows],
@@ -205,12 +269,13 @@ def subm_conv_pallas(
         jnp.float32 if features.dtype == jnp.float32 else jnp.bfloat16
     )
     out = pl.pallas_call(
-        _make_kernel(k, windows, kdtype),
+        _make_kernel(k, windows, wsubs, ns, kdtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, sub, _LANE, cout), jnp.float32),
         interpret=interpret,
     )(
         rulebook_bases,
+        sub_offs,
         *[rel_tiled[o] for o in range(k)],
         feat_pad,
         weights_k,
@@ -229,23 +294,30 @@ def subm_conv_pallas(
     return out
 
 
-def _make_dw_kernel(window: int, n_blocks: int, dtype=jnp.bfloat16):
-    """Weight-gradient kernel. Grid (K, nB) — offset-major so each offset's
-    dW block is revisited across consecutive steps and accumulates in VMEM:
+def _make_dw_kernel(window: int, wsub: int, n_sub: int, n_blocks: int,
+                    dtype=jnp.bfloat16):
+    """Weight-gradient kernel, two-level like the forward. Grid (K, nB) —
+    offset-major so each offset's dW block is revisited across consecutive
+    steps and accumulates in VMEM. Per subgroup:
 
-        s     = onehot^T @ g_block        (W, Cout)   MXU
-        dW[o] += window^T @ s             (C, Cout)   MXU
+        s      = onehot_sg^T @ g_sg       (Wsub, Cout)  MXU
+        dW[o] += wslice^T @ s             (C, Cout)     MXU
 
-    Window DMAs are double-buffered across the inner (block) grid dim."""
+    `window`/`wsub` are the MAX over per-offset widths (offset is a grid
+    dim, so slice widths must be uniform); rel entries always fit because
+    they were built against the per-offset widths. The DMA covers
+    window + wsub rows so a max-width slice at the largest offset stays in
+    (zero-padded) bounds. Window DMAs are double-buffered across blocks."""
 
-    def kernel(bases_ref, rel_ref, g_ref, feat_ref, dw_ref, win, sem):
+    def kernel(bases_ref, sub_offs_ref, rel_ref, g_ref, feat_ref, dw_ref,
+               win, sem):
         o = pl.program_id(0)
         kb = pl.program_id(1)
 
         def dma(block_idx, slot):
             base = pl.multiple_of(bases_ref[block_idx, o], 16)
             return pltpu.make_async_copy(
-                feat_ref.at[pl.ds(base, window)],
+                feat_ref.at[pl.ds(base, window + wsub)],
                 win.at[slot],
                 sem.at[slot],
             )
@@ -261,23 +333,32 @@ def _make_dw_kernel(window: int, n_blocks: int, dtype=jnp.bfloat16):
 
         dma(kb, kb % 2).wait()
         rel = rel_ref[0, 0]  # (SUB, LANE) int32
-        iota = jax.lax.broadcasted_iota(jnp.int32, (*rel.shape, window), 2)
-        onehot = (rel[:, :, None] == iota).astype(dtype)
+        sub = rel.shape[0]
+        rows = sub // n_sub
         g = g_ref[0]  # (SUB, LANE, Cout)
-        # (SUB, LANE, W) x (SUB, LANE, Cout) -> (W, Cout)
-        s = jax.lax.dot_general(
-            onehot,
-            g.astype(dtype),
-            dimension_numbers=(((0, 1), (0, 1)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # (W, C) x (W, Cout) -> (C, Cout)
-        dw_ref[0] += jax.lax.dot_general(
-            win[kb % 2].astype(dtype),
-            s.astype(dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        for sg in range(n_sub):
+            off = pl.multiple_of(sub_offs_ref[kb, sg, o], 16)
+            wslice = win.at[kb % 2][pl.ds(off, wsub), :].astype(dtype)
+            rel_sg = rel[sg * rows : (sg + 1) * rows]
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (*rel_sg.shape, wsub), 2
+            )
+            onehot = (rel_sg[:, :, None] == iota).astype(dtype)
+            g_sg = g[sg * rows : (sg + 1) * rows]
+            # (rows, LANE, Wsub) x (rows, LANE, Cout) -> (Wsub, Cout)
+            s = jax.lax.dot_general(
+                onehot,
+                g_sg.astype(dtype),
+                dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # (Wsub, C) x (Wsub, Cout) -> (C, Cout)
+            dw_ref[0] += jax.lax.dot_general(
+                wslice,
+                s.astype(dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     return kernel
 
@@ -289,45 +370,54 @@ def subm_conv_dw_pallas(
     rulebook_rel: jnp.ndarray,  # (K, V)
     k: int,
     window=WINDOW,
+    wsub=None,
+    sub_offs: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Banded weight gradient: dW[o] = sum_i feat[nbr(i,o)]^T grad[i].
     Returns (K, C, Cout) fp32 (un-padded).
 
-    The offset axis is a GRID dim here, so the window buffer is uniform:
-    max over the per-offset widths (rel entries always fit — they were
-    built against the per-offset widths, each <= the max)."""
+    The offset axis is a GRID dim here, so widths are uniform: max over the
+    per-offset widths (rel entries always fit — built against per-offset
+    widths, each <= the max)."""
     window = int(np.max(np.asarray(window)))
+    wsub_max = window if wsub is None else int(np.max(np.asarray(wsub)))
     v, c = features.shape
     cout = grad_out.shape[-1]
     nb = rulebook_bases.shape[0]
     block = v // nb
     sub = block // _LANE
+    ns = n_subgroups(block)
+    if sub_offs is None:
+        sub_offs = jnp.zeros((nb, ns, k), jnp.int32)
+        wsub_max = window
     c_pad = -(-c // 128) * 128
     cout_pad = -(-cout // 128) * 128
-    feat_pad = jnp.pad(features, ((0, window), (0, c_pad - c)))
+    feat_pad = jnp.pad(features, ((0, window + wsub_max), (0, c_pad - c)))
     g_tiled = jnp.pad(grad_out, ((0, 0), (0, cout_pad - cout))).reshape(
         nb, sub, _LANE, cout_pad
     )
     rel_tiled = rulebook_rel.reshape(k, nb, sub, _LANE)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # bases
+        num_scalar_prefetch=2,  # bases, sub_offs
         grid=(k, nb),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, sub, _LANE), lambda o, kb, bases: (o, kb, 0, 0)
+                (1, 1, sub, _LANE),
+                lambda o, kb, bases, soffs: (o, kb, 0, 0),
             ),
             pl.BlockSpec(
-                (1, sub, _LANE, cout_pad), lambda o, kb, bases: (kb, 0, 0, 0)
+                (1, sub, _LANE, cout_pad),
+                lambda o, kb, bases, soffs: (kb, 0, 0, 0),
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # feat (HBM)
         ],
         out_specs=pl.BlockSpec(
-            (1, c_pad, cout_pad), lambda o, kb, bases: (o, 0, 0)
+            (1, c_pad, cout_pad), lambda o, kb, bases, soffs: (o, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, window, c_pad), features.dtype),
+            pltpu.VMEM((2, window + wsub_max, c_pad), features.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -335,11 +425,11 @@ def subm_conv_dw_pallas(
         jnp.float32 if features.dtype == jnp.float32 else jnp.bfloat16
     )
     dw = pl.pallas_call(
-        _make_dw_kernel(window, nb, kdtype),
+        _make_dw_kernel(window, wsub_max, ns, nb, kdtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, c_pad, cout_pad), jnp.float32),
         interpret=interpret,
-    )(rulebook_bases, rel_tiled, g_tiled, feat_pad)
+    )(rulebook_bases, sub_offs, rel_tiled, g_tiled, feat_pad)
     return dw[:, :c, :cout]
 
 
@@ -430,10 +520,11 @@ def _miss_dw(
 # ---------------------------------------------------------------------------
 
 
-def _banded_fwd_impl(window, interpret, features, weights, bases, rel,
-                     mrows, mnbrs, moffs):
+def _banded_fwd_impl(window, wsub, interpret, features, weights, bases, rel,
+                     sub_offs, mrows, mnbrs, moffs):
     out = subm_conv_pallas(
-        features, bases, rel, weights, window=window, interpret=interpret
+        features, bases, rel, weights, window=window, wsub=wsub,
+        sub_offs=sub_offs, interpret=interpret,
     )
     return apply_miss_correction(
         out, features, weights, MissList(rows=mrows, nbrs=mnbrs, offs=moffs)
@@ -443,32 +534,33 @@ def _banded_fwd_impl(window, interpret, features, weights, bases, rel,
 from functools import partial as _partial  # noqa: E402
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def subm_conv_banded(window, interpret, features, weights, bases, rel,
-                     mrows, mnbrs, moffs):
-    """Fused banded subm conv with a custom VJP (banded backward on both
-    sides — no XLA row gathers anywhere in the training step).
+@_partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def subm_conv_banded(window, wsub, interpret, features, weights, bases, rel,
+                     sub_offs, mrows, mnbrs, moffs):
+    """Fused two-level banded subm conv with a custom VJP (banded backward
+    on both sides — no XLA row gathers anywhere in the training step).
 
     d/dfeat: the mirrored conv — the full pair set of a subm conv is
     symmetric (pair (i, j, o) <-> (j, i, K-1-o), the verified scatter dual,
     sparse_conv.subm_conv_scatter), so dfeat = banded_conv(g, W') with
     W'[o] = W[K-1-o]^T, evaluated banded + exact miss correction.
-    d/dW: per (block, offset) two MXU matmuls, onehot^T @ g then
-    window^T @ (.), accumulated across blocks (subm_conv_dw_pallas), plus
+    d/dW: per (block, subgroup, offset) two MXU matmuls, onehot^T @ g then
+    wslice^T @ (.), accumulated across blocks (subm_conv_dw_pallas), plus
     the compact miss-list term."""
-    return _banded_fwd_impl(window, interpret, features, weights, bases, rel,
-                            mrows, mnbrs, moffs)
+    return _banded_fwd_impl(window, wsub, interpret, features, weights,
+                            bases, rel, sub_offs, mrows, mnbrs, moffs)
 
 
-def _banded_conv_fwd(window, interpret, features, weights, bases, rel,
-                     mrows, mnbrs, moffs):
-    out = _banded_fwd_impl(window, interpret, features, weights, bases, rel,
-                           mrows, mnbrs, moffs)
-    return out, (features, weights, bases, rel, mrows, mnbrs, moffs)
+def _banded_conv_fwd(window, wsub, interpret, features, weights, bases, rel,
+                     sub_offs, mrows, mnbrs, moffs):
+    out = _banded_fwd_impl(window, wsub, interpret, features, weights,
+                           bases, rel, sub_offs, mrows, mnbrs, moffs)
+    return out, (features, weights, bases, rel, sub_offs, mrows, mnbrs,
+                 moffs)
 
 
-def _banded_conv_bwd(window, interpret, res, g):
-    features, weights, bases, rel, mrows, mnbrs, moffs = res
+def _banded_conv_bwd(window, wsub, interpret, res, g):
+    features, weights, bases, rel, sub_offs, mrows, mnbrs, moffs = res
     miss = MissList(rows=mrows, nbrs=mnbrs, offs=moffs)
     k = weights.shape[0]
 
@@ -476,18 +568,20 @@ def _banded_conv_bwd(window, interpret, res, g):
     w_prime = jnp.swapaxes(weights[::-1], 1, 2)  # (K, Cout, C)
     g_c = g.astype(features.dtype)
     dfeat = subm_conv_pallas(
-        g_c, bases, rel, w_prime, window=window, interpret=interpret
+        g_c, bases, rel, w_prime, window=window, wsub=wsub,
+        sub_offs=sub_offs, interpret=interpret,
     )
     dfeat = apply_miss_correction(dfeat, g_c, w_prime, miss)
     dfeat = dfeat.astype(features.dtype)
 
     # dW: banded kernel + miss term.
     dw = subm_conv_dw_pallas(
-        features, g, bases, rel, k, window=window, interpret=interpret
+        features, g, bases, rel, k, window=window, wsub=wsub,
+        sub_offs=sub_offs, interpret=interpret,
     )
     dw = dw + _miss_dw(features, g, miss, k)
     dw = dw.astype(weights.dtype)
-    return (dfeat, dw, None, None, None, None, None)
+    return (dfeat, dw, None, None, None, None, None, None)
 
 
 subm_conv_banded.defvjp(_banded_conv_fwd, _banded_conv_bwd)
