@@ -53,6 +53,9 @@ def _bench_forward(cfg, iters=20):
     # Host arrays end-to-end for the pack build (device fetches over the
     # relay would dominate the measurement).
     batch_np, _ = ge._synthetic_inputs(cfg, b=1, as_numpy=True)
+    # Warm once (first call compiles the native .so / touches caches), then
+    # time the steady-state loader-thread cost.
+    pack_np = build_packs(batch_np.vox_src, batch_np.valid, cfg, n_shards=1)
     t0 = time.perf_counter()
     pack_np = build_packs(batch_np.vox_src, batch_np.valid, cfg, n_shards=1)
     t_pack = time.perf_counter() - t0

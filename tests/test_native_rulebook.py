@@ -57,3 +57,50 @@ def test_native_overflow_and_all_invalid():
     nat2 = native.build_gridpack(bxyz, np.zeros(n, bool), [64, 32])
     np.testing.assert_array_equal(nat2[0].point_inverse, ref2[0].point_inverse)
     assert not nat2[0].valid[0].any()
+
+
+@pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+def test_native_banded_bit_exact():
+    """Native two-level banded rulebook == numpy twin, including the
+    compact miss list, active flags and floor-mod sub_off alignment."""
+    from unidet3d_tpu.ops.pallas_conv import (
+        build_banded_rulebook,
+        build_miss_list,
+        n_subgroups,
+    )
+    from unidet3d_tpu.ops.sparse_conv import build_subm_neighbors
+    from unidet3d_tpu.ops.voxelize import voxelize
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    for n, cap, block, extent in [(900, 1024, 128, 14), (400, 1024, 512, 6)]:
+        bxyz = np.concatenate(
+            [rng.randint(0, 2, (n, 1)), rng.randint(0, extent, (n, 3))],
+            axis=1,
+        ).astype(np.int32)
+        grid, _ = voxelize(
+            jnp.array(bxyz), jnp.ones(n, bool), cap,
+            jnp.array(rng.randn(n, 4).astype(np.float32)),
+        )
+        nbr = np.asarray(build_subm_neighbors(grid))
+        windows = np.array(
+            [256 if o // 9 != 1 else 144 for o in range(27)], np.int64
+        )
+        wsubs = np.array(
+            [144 if o // 9 != 1 else 80 for o in range(27)], np.int64
+        )
+        rb = build_banded_rulebook(
+            nbr, cap, block=block, window=windows, wsub=wsubs
+        )
+        ml = build_miss_list(rb.miss_idx, cap, miss_cap=4096)
+        (bs, so, rl, ac, rows, nbrs, offs, total) = native.build_banded(
+            nbr, cap, block, windows, wsubs, n_subgroups(block), 4096
+        )
+        np.testing.assert_array_equal(bs, rb.bases)
+        np.testing.assert_array_equal(so, rb.sub_offs)
+        np.testing.assert_array_equal(rl, rb.rel)
+        np.testing.assert_array_equal(ac, rb.active)
+        assert total == rb.n_miss
+        np.testing.assert_array_equal(rows, ml.rows)
+        np.testing.assert_array_equal(nbrs, ml.nbrs)
+        np.testing.assert_array_equal(offs, ml.offs)

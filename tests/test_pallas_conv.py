@@ -115,7 +115,7 @@ def test_banded_conv_custom_vjp_matches_xla_grads():
         out = subm_conv_banded(
             128, None, True, feat, weights,
             jnp.asarray(rb.bases), jnp.asarray(rb.rel),
-            jnp.asarray(rb.sub_offs),
+            jnp.asarray(rb.sub_offs), jnp.asarray(rb.active),
             jnp.asarray(ml.rows), jnp.asarray(ml.nbrs), jnp.asarray(ml.offs),
         )
         return jnp.sum(out * gdir)
@@ -169,7 +169,7 @@ def test_per_offset_windows_match_gather_form_with_grads():
         out = subm_conv_banded(
             windows, None, True, feat, weights,
             jnp.asarray(rb.bases), jnp.asarray(rb.rel),
-            jnp.asarray(rb.sub_offs),
+            jnp.asarray(rb.sub_offs), jnp.asarray(rb.active),
             jnp.asarray(ml.rows), jnp.asarray(ml.nbrs), jnp.asarray(ml.offs),
         )
         return jnp.sum(out * gdir)
@@ -243,7 +243,7 @@ def test_two_level_banding_matches_gather_form_with_grads():
         out = subm_conv_banded(
             windows, wsubs, True, feat, weights,
             jnp.asarray(rb.bases), jnp.asarray(rb.rel),
-            jnp.asarray(rb.sub_offs),
+            jnp.asarray(rb.sub_offs), jnp.asarray(rb.active),
             jnp.asarray(ml.rows), jnp.asarray(ml.nbrs), jnp.asarray(ml.offs),
         )
         return jnp.sum(out * gdir)
@@ -279,9 +279,64 @@ def test_two_level_multi_subgroup_block():
         subm_conv_banded(
             windows, wsubs, True, vf, jnp.asarray(w),
             jnp.asarray(rb.bases), jnp.asarray(rb.rel),
-            jnp.asarray(rb.sub_offs),
+            jnp.asarray(rb.sub_offs), jnp.asarray(rb.active),
             jnp.asarray(ml.rows), jnp.asarray(ml.nbrs), jnp.asarray(ml.offs),
         )
     )
     nv = int(grid.n_voxels)
     np.testing.assert_allclose(out[:nv], ref[:nv], rtol=5e-2, atol=1e-1)
+
+def test_empty_block_predication():
+    """Blocks with no valid neighbor entries are skipped by the kernel
+    (active=0) and must still produce exact zeros; value + grads parity on
+    a half-empty capacity (the static-padding production case)."""
+    import jax
+    from unidet3d_tpu.ops.pallas_conv import build_miss_list, subm_conv_banded
+
+    rng = np.random.RandomState(31)
+    # Few points in a big capacity -> most blocks fully padded.
+    grid, vf, nbr, w = _setup(n=250, cap=1024, extent=6)
+    nv = int(grid.n_voxels)
+    rb = build_banded_rulebook(nbr, 1024, block=128, window=256, wsub=144)
+    assert rb.active.shape == (8,)
+    assert rb.active.sum() < 8  # some blocks really are skipped
+    # active exactly marks blocks containing any valid neighbor entry.
+    want = (nbr < 1024).reshape(8, -1).any(1).astype(np.int32)
+    np.testing.assert_array_equal(rb.active, want)
+
+    ml = build_miss_list(rb.miss_idx, 1024, miss_cap=4096)
+    mask = (np.arange(1024) < nv)[:, None]
+    gdir = jnp.asarray(
+        rng.randint(-2, 3, (1024, 16)).astype(np.float32)
+    ) * mask
+    nbr_j = jnp.asarray(nbr)
+    w_j = jnp.asarray(w)
+
+    def loss_ref(feat, weights):
+        return jnp.sum(subm_conv(feat, nbr_j, weights) * gdir)
+
+    def loss_banded(feat, weights):
+        out = subm_conv_banded(
+            256, 144, True, feat, weights,
+            jnp.asarray(rb.bases), jnp.asarray(rb.rel),
+            jnp.asarray(rb.sub_offs), jnp.asarray(rb.active),
+            jnp.asarray(ml.rows), jnp.asarray(ml.nbrs), jnp.asarray(ml.offs),
+        )
+        # Skipped blocks must write zeros, not garbage.
+        return jnp.sum(out * gdir), out
+
+    (v_b, out_b), (gf_b, gw_b) = jax.value_and_grad(
+        loss_banded, argnums=(0, 1), has_aux=True
+    )(vf, w_j)
+    v_ref, (gf_ref, gw_ref) = jax.value_and_grad(loss_ref, argnums=(0, 1))(
+        vf, w_j
+    )
+    np.testing.assert_allclose(float(v_b), float(v_ref), rtol=5e-2)
+    inactive_rows = np.repeat(rb.active == 0, 128)
+    np.testing.assert_array_equal(np.asarray(out_b)[inactive_rows], 0.0)
+    np.testing.assert_allclose(
+        np.asarray(gf_b)[:nv], np.asarray(gf_ref)[:nv], rtol=5e-2, atol=1e-1
+    )
+    np.testing.assert_allclose(
+        np.asarray(gw_b), np.asarray(gw_ref), rtol=5e-2, atol=1e-1
+    )

@@ -55,14 +55,14 @@ class SubmConv(nn.Module):
 
             from ..ops.pallas_conv import subm_conv_banded
 
-            bases, sub_offs, rel, mrows, mnbrs, moffs = banded
+            bases, sub_offs, rel, active, mrows, mnbrs, moffs = banded
             # Differentiable fused kernel (custom VJP) — forward AND backward
             # run banded pallas, no XLA row gathers in training.
             return subm_conv_banded(
                 self.conv_window, self.conv_wsub,
                 jax.default_backend() != "tpu",
                 x.astype(self.dtype), w,
-                bases, rel, sub_offs, mrows, mnbrs, moffs,
+                bases, rel, sub_offs, active, mrows, mnbrs, moffs,
             )
         return subm_conv(x.astype(self.dtype), neighbors, w.astype(self.dtype))
 
@@ -161,8 +161,8 @@ class SpConvUNet(nn.Module):
             if b is None:
                 return None
             return (
-                b.bases[lvl], b.sub_offs[lvl], b.rel[lvl], b.miss_rows[lvl],
-                b.miss_nbrs[lvl], b.miss_offs[lvl],
+                b.bases[lvl], b.sub_offs[lvl], b.rel[lvl], b.active[lvl],
+                b.miss_rows[lvl], b.miss_nbrs[lvl], b.miss_offs[lvl],
             )
 
         # Down path: pre-blocks then strided conv.
@@ -252,8 +252,8 @@ class UNetBackbone(nn.Module):
         if pack.banded is not None:
             bd = pack.banded
             b0 = (
-                bd.bases[0], bd.sub_offs[0], bd.rel[0], bd.miss_rows[0],
-                bd.miss_nbrs[0], bd.miss_offs[0],
+                bd.bases[0], bd.sub_offs[0], bd.rel[0], bd.active[0],
+                bd.miss_rows[0], bd.miss_nbrs[0], bd.miss_offs[0],
             )
 
         def lvl0(w):

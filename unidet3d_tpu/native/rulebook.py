@@ -48,6 +48,7 @@ def _load():
             )
         lib = ctypes.CDLL(_LIB)
         lib.unidet3d_build_gridpack.restype = None
+        lib.unidet3d_build_banded.restype = None
         _lib = lib
     except Exception:
         _lib = None
@@ -113,3 +114,64 @@ def build_gridpack(
         point_inverse=point_inverse,
     )
     return pack, counts0
+
+
+def build_banded(
+    neighbors: np.ndarray,
+    capacity: int,
+    block: int,
+    windows: np.ndarray,
+    wsubs: np.ndarray,
+    n_sub: int,
+    miss_cap: int,
+    n_threads: int | None = None,
+):
+    """Native two-level banded rulebook + compact miss list for one level.
+
+    Bit-exact twin of ops/pallas_conv.py::build_banded_rulebook +
+    build_miss_list (tested in tests/test_native_rulebook.py). Returns
+    (bases, sub_offs, rel, active, miss_rows, miss_nbrs, miss_offs,
+    n_miss_total)."""
+    lib = _load()
+    assert lib is not None, "native rulebook library unavailable"
+    v = neighbors.shape[0]
+    nb = v // block
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    neighbors = np.ascontiguousarray(neighbors, np.int32)
+    windows = np.ascontiguousarray(windows, np.int64)
+    wsubs = np.ascontiguousarray(np.minimum(wsubs, windows), np.int64)
+
+    bases = np.empty((nb, 27), np.int32)
+    sub_offs = np.empty((nb, n_sub, 27), np.int32)
+    rel = np.empty((27, v), np.int32)
+    active = np.empty(nb, np.int32)
+    miss_rows = np.empty(miss_cap, np.int32)
+    miss_nbrs = np.empty(miss_cap, np.int32)
+    miss_offs = np.empty(miss_cap, np.int32)
+    n_miss = ctypes.c_int64(0)
+
+    def p(a, ty):
+        return a.ctypes.data_as(ctypes.POINTER(ty))
+
+    lib.unidet3d_build_banded(
+        p(neighbors, ctypes.c_int32),
+        ctypes.c_int64(v),
+        ctypes.c_int64(capacity),
+        ctypes.c_int64(block),
+        p(windows, ctypes.c_int64),
+        p(wsubs, ctypes.c_int64),
+        ctypes.c_int64(n_sub),
+        ctypes.c_int64(miss_cap),
+        ctypes.c_int32(n_threads),
+        p(bases, ctypes.c_int32),
+        p(sub_offs, ctypes.c_int32),
+        p(rel, ctypes.c_int32),
+        p(active, ctypes.c_int32),
+        p(miss_rows, ctypes.c_int32),
+        p(miss_nbrs, ctypes.c_int32),
+        p(miss_offs, ctypes.c_int32),
+        ctypes.byref(n_miss),
+    )
+    return (bases, sub_offs, rel, active, miss_rows, miss_nbrs, miss_offs,
+            int(n_miss.value))

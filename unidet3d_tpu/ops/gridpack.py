@@ -236,11 +236,14 @@ class BandedPack(NamedTuple):
     """Per-level two-level banded rulebooks for the pallas subm conv (see
     ops/pallas_conv.py). All leaves are arrays (pytree-safe):
     bases[l]: (nB_l, 27); sub_offs[l]: (nB_l, nS, 27); rel[l]: (27, V_l);
-    miss_rows/miss_nbrs/miss_offs[l]: (M,) compact out-of-band lists."""
+    active[l]: (nB_l,) block-has-any-valid-neighbor flags (kernel skips
+    fully-padded blocks); miss_rows/miss_nbrs/miss_offs[l]: (M,) compact
+    out-of-band lists."""
 
     bases: tuple
     sub_offs: tuple
     rel: tuple
+    active: tuple
     miss_rows: tuple
     miss_nbrs: tuple
     miss_offs: tuple
@@ -271,10 +274,39 @@ def build_banded_pack(
     windows = per_level(window)
     wsubs = per_level(wsub)
 
-    bases, soffs, rel, mr, mn, mo = [], [], [], [], [], []
+    from ..native import rulebook as native_rb
+    from .pallas_conv import n_subgroups
+
+    use_native = native_rb.available()
+    bases, soffs, rel, act, mr, mn, mo = [], [], [], [], [], [], []
     for lvl, cap in enumerate(capacities):
         nbr = np.asarray(pack.neighbors[lvl])
         b = min(block, cap)
+        if use_native:
+            w27 = np.broadcast_to(np.asarray(windows[lvl], np.int64), (27,))
+            ws27 = (
+                w27
+                if wsubs[lvl] is None
+                else np.broadcast_to(np.asarray(wsubs[lvl], np.int64), (27,))
+            )
+            (bs, so, rl, ac, rows, nbrs, offs, total) = native_rb.build_banded(
+                nbr, cap, b, w27, ws27, n_subgroups(b), miss_cap
+            )
+            if total > miss_cap:
+                import logging
+
+                logging.getLogger("unidet3d_tpu").warning(
+                    "miss list overflow: %d > %d — widen the conv window",
+                    total, miss_cap,
+                )
+            bases.append(bs)
+            soffs.append(so)
+            rel.append(rl)
+            act.append(ac)
+            mr.append(rows)
+            mn.append(nbrs)
+            mo.append(offs)
+            continue
         rb = build_banded_rulebook(
             nbr, cap, block=b, window=windows[lvl], wsub=wsubs[lvl]
         )
@@ -282,6 +314,7 @@ def build_banded_pack(
         bases.append(rb.bases)
         soffs.append(rb.sub_offs)
         rel.append(rb.rel)
+        act.append(rb.active)
         mr.append(ml.rows)
         mn.append(ml.nbrs)
         mo.append(ml.offs)
@@ -289,6 +322,7 @@ def build_banded_pack(
         bases=tuple(bases),
         sub_offs=tuple(soffs),
         rel=tuple(rel),
+        active=tuple(act),
         miss_rows=tuple(mr),
         miss_nbrs=tuple(mn),
         miss_offs=tuple(mo),

@@ -51,6 +51,10 @@ class BandedRulebook(NamedTuple):
     sub_offs: (nB, nS, K) int32 subgroup start WITHIN the window, 16-aligned,
         in [0, window - wsub].
     rel: (K, V) int32 subgroup-relative index in [0, wsub), -1 = none.
+    active: (nB,) int32 1 where the block has ANY valid neighbor entry.
+        Fully-padded blocks (voxel capacity is a static worst case; real
+        scenes fill 20-90% of it) produce all-zero outputs, so the kernel
+        skips their DMAs and matmuls entirely.
     miss_idx: (K, V) int32 original neighbor row for out-of-band entries,
         sentinel V elsewhere.
     n_miss: int (python) — total out-of-band entries.
@@ -59,6 +63,7 @@ class BandedRulebook(NamedTuple):
     bases: np.ndarray
     sub_offs: np.ndarray
     rel: np.ndarray
+    active: np.ndarray
     miss_idx: np.ndarray
     n_miss: int
 
@@ -125,9 +130,10 @@ def build_banded_rulebook(
     # (nB, nS, sub_rows, K) -> (K, V)
     rel = np.ascontiguousarray(rel.reshape(v, k).T)
     miss_idx = np.ascontiguousarray(miss_idx.reshape(v, k).T)
+    active = valid.reshape(nb, block * k).any(axis=1).astype(np.int32)
     return BandedRulebook(
-        bases=bases, sub_offs=sub_offs, rel=rel, miss_idx=miss_idx,
-        n_miss=int(miss.sum()),
+        bases=bases, sub_offs=sub_offs, rel=rel, active=active,
+        miss_idx=miss_idx, n_miss=int(miss.sum()),
     )
 
 
@@ -140,7 +146,7 @@ def _make_kernel(n_off: int, windows: tuple, wsubs: tuple, n_sub: int,
     `wsub`-wide dynamic slice of the window (host-rebased rel), cutting the
     dominant onehot FLOPs 3-4x vs matching the whole window."""
 
-    def kernel(bases_ref, sub_offs_ref, *refs):
+    def kernel(bases_ref, sub_offs_ref, active_ref, *refs):
         # refs: rel_0..rel_{K-1}, feat, weights, out, win_0..win_{K-1},
         #       acc, sem(K)
         rels = refs[:n_off]
@@ -160,36 +166,45 @@ def _make_kernel(n_off: int, windows: tuple, wsubs: tuple, n_sub: int,
                 sem.at[o],
             )
 
-        for o in range(n_off):
-            dma(o).start()
-        acc[...] = jnp.zeros_like(acc)
-        for o in range(n_off):
-            dma(o).wait()
-            rel = rels[o][0]  # (sub, LANE) int32
-            sub = rel.shape[0]
-            rows = sub // n_sub  # sublane rows per subgroup
-            for sg in range(n_sub):
-                off = pl.multiple_of(sub_offs_ref[kb, sg, o], 16)
-                wslice = wins[o][pl.ds(off, wsubs[o]), :].astype(dtype)
-                rel_sg = rel[sg * rows : (sg + 1) * rows]  # (rows, LANE)
-                iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (*rel_sg.shape, wsubs[o]), 2
-                )
-                onehot = (rel_sg[:, :, None] == iota).astype(dtype)
-                # (rows, LANE, Wsub) x (Wsub, C) -> (rows, LANE, C)
-                g = jax.lax.dot_general(
-                    onehot,
-                    wslice,
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                acc[sg * rows : (sg + 1) * rows] += jax.lax.dot_general(
-                    g.astype(dtype),
-                    w_ref[o].astype(dtype),
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-        out_ref[0] = acc[...]
+        # Fully-padded blocks (all rel = -1) would compute exact zeros —
+        # skip their DMAs and matmuls; capacities are static worst cases
+        # that real scenes fill only partially.
+        @pl.when(active_ref[kb] == 0)
+        def _():
+            out_ref[0] = jnp.zeros_like(out_ref[0])
+
+        @pl.when(active_ref[kb] != 0)
+        def _():
+            for o in range(n_off):
+                dma(o).start()
+            acc[...] = jnp.zeros_like(acc)
+            for o in range(n_off):
+                dma(o).wait()
+                rel = rels[o][0]  # (sub, LANE) int32
+                sub = rel.shape[0]
+                rows = sub // n_sub  # sublane rows per subgroup
+                for sg in range(n_sub):
+                    off = pl.multiple_of(sub_offs_ref[kb, sg, o], 16)
+                    wslice = wins[o][pl.ds(off, wsubs[o]), :].astype(dtype)
+                    rel_sg = rel[sg * rows : (sg + 1) * rows]  # (rows, LANE)
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (*rel_sg.shape, wsubs[o]), 2
+                    )
+                    onehot = (rel_sg[:, :, None] == iota).astype(dtype)
+                    # (rows, LANE, Wsub) x (Wsub, C) -> (rows, LANE, C)
+                    g = jax.lax.dot_general(
+                        onehot,
+                        wslice,
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc[sg * rows : (sg + 1) * rows] += jax.lax.dot_general(
+                        g.astype(dtype),
+                        w_ref[o].astype(dtype),
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            out_ref[0] = acc[...]
 
     return kernel
 
@@ -204,6 +219,7 @@ def subm_conv_pallas(
     window=WINDOW,
     wsub=None,
     sub_offs: jnp.ndarray | None = None,  # (nB, nS, K)
+    active: jnp.ndarray | None = None,  # (nB,) int32; None = all active
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused two-level banded subm conv. Returns (V, Cout) fp32.
@@ -230,6 +246,8 @@ def subm_conv_pallas(
     if sub_offs is None:
         sub_offs = jnp.zeros((nb, ns, k), jnp.int32)
         wsubs = windows
+    if active is None:
+        active = jnp.ones((nb,), jnp.int32)
     cout = weights.shape[-1]
     # Mosaic window DMAs must cover full 128-lane tiles: pad the channel dim
     # (zero weight rows keep the math exact).
@@ -240,22 +258,25 @@ def subm_conv_pallas(
     rel_tiled = rulebook_rel.reshape(k, nb, sub, _LANE)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # bases, sub_offs
+        num_scalar_prefetch=3,  # bases, sub_offs, active
         grid=(nb,),
         in_specs=[
             *[
                 pl.BlockSpec(
                     (1, sub, _LANE),
-                    (lambda kb, bases, soffs, _o=o: (kb, 0, 0)),
+                    (lambda kb, bases, soffs, act, _o=o: (kb, 0, 0)),
                 )
                 for o in range(k)
             ],
             pl.BlockSpec(memory_space=pl.ANY),  # feat (HBM)
             # weights fully resident in VMEM (<= 27*160*160*4 = 2.7 MB).
-            pl.BlockSpec((k, c, cout), lambda kb, bases, soffs: (0, 0, 0)),
+            pl.BlockSpec(
+                (k, c, cout), lambda kb, bases, soffs, act: (0, 0, 0)
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (1, sub, _LANE, cout), lambda kb, bases, soffs: (kb, 0, 0, 0)
+            (1, sub, _LANE, cout),
+            lambda kb, bases, soffs, act: (kb, 0, 0, 0),
         ),
         scratch_shapes=[
             *[pltpu.VMEM((w, c), features.dtype) for w in windows],
@@ -276,6 +297,7 @@ def subm_conv_pallas(
     )(
         rulebook_bases,
         sub_offs,
+        active,
         *[rel_tiled[o] for o in range(k)],
         feat_pad,
         weights_k,
@@ -295,13 +317,16 @@ def subm_conv_pallas(
 
 
 def _make_dw_kernel(window: int, wsub: int, n_sub: int, n_blocks: int,
-                    dtype=jnp.bfloat16):
+                    block: int, dtype=jnp.bfloat16):
     """Weight-gradient kernel, two-level like the forward. Grid (K, nB) —
     offset-major so each offset's dW block is revisited across consecutive
-    steps and accumulates in VMEM. Per subgroup:
+    steps and accumulates in VMEM. Per subgroup (rows = block voxels down
+    the SUBLANE axis — rel arrives as a free (V, 1) reshape view, so the
+    onehot is 2D and both matmuls have a single contracting dim; Mosaic's
+    tpu.matmul rejects multi-dim contractions on real hardware):
 
-        s      = onehot_sg^T @ g_sg       (Wsub, Cout)  MXU
-        dW[o] += wslice^T @ s             (C, Cout)     MXU
+        s      = onehot_sg^T @ g_sg       (rows, Wsub)^T x (rows, Cout) MXU
+        dW[o] += wslice^T @ s             (Wsub, C)^T x (Wsub, Cout)    MXU
 
     `window`/`wsub` are the MAX over per-offset widths (offset is a grid
     dim, so slice widths must be uniform); rel entries always fit because
@@ -309,8 +334,8 @@ def _make_dw_kernel(window: int, wsub: int, n_sub: int, n_blocks: int,
     window + wsub rows so a max-width slice at the largest offset stays in
     (zero-padded) bounds. Window DMAs are double-buffered across blocks."""
 
-    def kernel(bases_ref, sub_offs_ref, rel_ref, g_ref, feat_ref, dw_ref,
-               win, sem):
+    def kernel(bases_ref, sub_offs_ref, active_ref, rel_ref, g_ref, feat_ref,
+               dw_ref, win, sem):
         o = pl.program_id(0)
         kb = pl.program_id(1)
 
@@ -322,43 +347,52 @@ def _make_dw_kernel(window: int, wsub: int, n_sub: int, n_blocks: int,
                 sem.at[slot],
             )
 
-        @pl.when(kb == 0)
+        # Predication: inactive (fully-padded) blocks contribute exact
+        # zeros to dW. start/wait stay paired — dma(b) is started iff
+        # active[b] and waited iff active[b].
+        @pl.when((kb == 0) & (active_ref[0] != 0))
         def _():
             dma(0, 0).start()
+
+        @pl.when(kb == 0)
+        def _():
             dw_ref[...] = jnp.zeros_like(dw_ref)
 
-        @pl.when(kb + 1 < n_blocks)
-        def _():
-            dma(kb + 1, (kb + 1) % 2).start()
+        nxt = jnp.minimum(kb + 1, n_blocks - 1)  # clamp: in-bounds SMEM read
 
-        dma(kb, kb % 2).wait()
-        rel = rel_ref[0, 0]  # (SUB, LANE) int32
-        sub = rel.shape[0]
-        rows = sub // n_sub
-        g = g_ref[0]  # (SUB, LANE, Cout)
-        for sg in range(n_sub):
-            off = pl.multiple_of(sub_offs_ref[kb, sg, o], 16)
-            wslice = win.at[kb % 2][pl.ds(off, wsub), :].astype(dtype)
-            rel_sg = rel[sg * rows : (sg + 1) * rows]
-            iota = jax.lax.broadcasted_iota(
-                jnp.int32, (*rel_sg.shape, wsub), 2
-            )
-            onehot = (rel_sg[:, :, None] == iota).astype(dtype)
-            g_sg = g[sg * rows : (sg + 1) * rows]
-            # (rows, LANE, Wsub) x (rows, LANE, Cout) -> (Wsub, Cout)
-            s = jax.lax.dot_general(
-                onehot,
-                g_sg.astype(dtype),
-                dimension_numbers=(((0, 1), (0, 1)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # (Wsub, C) x (Wsub, Cout) -> (C, Cout)
-            dw_ref[0] += jax.lax.dot_general(
-                wslice,
-                s.astype(dtype),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        @pl.when((kb + 1 < n_blocks) & (active_ref[nxt] != 0))
+        def _():
+            dma(nxt, (kb + 1) % 2).start()
+
+        @pl.when(active_ref[kb] != 0)
+        def _():
+            dma(kb, kb % 2).wait()
+            rel = rel_ref[0]  # (block, 1) int32, voxels down sublanes
+            g = g_ref[...]  # (block, Cout)
+            rows = block // n_sub  # voxels per subgroup
+            for sg in range(n_sub):
+                off = pl.multiple_of(sub_offs_ref[kb, sg, o], 16)
+                wslice = win.at[kb % 2][pl.ds(off, wsub), :].astype(dtype)
+                rel_sg = rel[sg * rows : (sg + 1) * rows]  # (rows, 1)
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, wsub), 1
+                )
+                onehot = (rel_sg == iota).astype(dtype)  # (rows, Wsub)
+                g_sg = g[sg * rows : (sg + 1) * rows]  # (rows, Cout)
+                # (rows, Wsub) x (rows, Cout) -> (Wsub, Cout)
+                s = jax.lax.dot_general(
+                    onehot,
+                    g_sg.astype(dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # (Wsub, C) x (Wsub, Cout) -> (C, Cout)
+                dw_ref[0] += jax.lax.dot_general(
+                    wslice,
+                    s.astype(dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
     return kernel
 
@@ -372,6 +406,7 @@ def subm_conv_dw_pallas(
     window=WINDOW,
     wsub=None,
     sub_offs: jnp.ndarray | None = None,
+    active: jnp.ndarray | None = None,  # (nB,) int32; None = all active
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Banded weight gradient: dW[o] = sum_i feat[nbr(i,o)]^T grad[i].
@@ -391,30 +426,33 @@ def subm_conv_dw_pallas(
     if sub_offs is None:
         sub_offs = jnp.zeros((nb, ns, k), jnp.int32)
         wsub_max = window
+    if active is None:
+        active = jnp.ones((nb,), jnp.int32)
     c_pad = -(-c // 128) * 128
     cout_pad = -(-cout // 128) * 128
     feat_pad = jnp.pad(features, ((0, window + wsub_max), (0, c_pad - c)))
-    g_tiled = jnp.pad(grad_out, ((0, 0), (0, cout_pad - cout))).reshape(
-        nb, sub, _LANE, cout_pad
-    )
-    rel_tiled = rulebook_rel.reshape(k, nb, sub, _LANE)
+    g_pad = jnp.pad(grad_out, ((0, 0), (0, cout_pad - cout)))  # (V, Cout)
+    # Free reshape VIEW of the (K, V) rel table: voxels land on the sublane
+    # axis so the per-subgroup onehot is 2D — single-contraction matmuls
+    # (Mosaic's tpu.matmul rejects multi-dim contractions on hardware).
+    rel_col = rulebook_rel.reshape(k, v, 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # bases, sub_offs
+        num_scalar_prefetch=3,  # bases, sub_offs, active
         grid=(k, nb),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, sub, _LANE),
-                lambda o, kb, bases, soffs: (o, kb, 0, 0),
+                (1, block, 1),
+                lambda o, kb, bases, soffs, act: (o, kb, 0),
             ),
             pl.BlockSpec(
-                (1, sub, _LANE, cout_pad),
-                lambda o, kb, bases, soffs: (kb, 0, 0, 0),
+                (block, cout_pad),
+                lambda o, kb, bases, soffs, act: (kb, 0),
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # feat (HBM)
         ],
         out_specs=pl.BlockSpec(
-            (1, c_pad, cout_pad), lambda o, kb, bases, soffs: (o, 0, 0)
+            (1, c_pad, cout_pad), lambda o, kb, bases, soffs, act: (o, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, window + wsub_max, c_pad), features.dtype),
@@ -425,11 +463,11 @@ def subm_conv_dw_pallas(
         jnp.float32 if features.dtype == jnp.float32 else jnp.bfloat16
     )
     dw = pl.pallas_call(
-        _make_dw_kernel(window, wsub_max, ns, nb, kdtype),
+        _make_dw_kernel(window, wsub_max, ns, nb, block, kdtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, c_pad, cout_pad), jnp.float32),
         interpret=interpret,
-    )(rulebook_bases, sub_offs, rel_tiled, g_tiled, feat_pad)
+    )(rulebook_bases, sub_offs, active, rel_col, g_pad, feat_pad)
     return dw[:, :c, :cout]
 
 
@@ -521,10 +559,10 @@ def _miss_dw(
 
 
 def _banded_fwd_impl(window, wsub, interpret, features, weights, bases, rel,
-                     sub_offs, mrows, mnbrs, moffs):
+                     sub_offs, active, mrows, mnbrs, moffs):
     out = subm_conv_pallas(
         features, bases, rel, weights, window=window, wsub=wsub,
-        sub_offs=sub_offs, interpret=interpret,
+        sub_offs=sub_offs, active=active, interpret=interpret,
     )
     return apply_miss_correction(
         out, features, weights, MissList(rows=mrows, nbrs=mnbrs, offs=moffs)
@@ -536,7 +574,7 @@ from functools import partial as _partial  # noqa: E402
 
 @_partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def subm_conv_banded(window, wsub, interpret, features, weights, bases, rel,
-                     sub_offs, mrows, mnbrs, moffs):
+                     sub_offs, active, mrows, mnbrs, moffs):
     """Fused two-level banded subm conv with a custom VJP (banded backward
     on both sides — no XLA row gathers anywhere in the training step).
 
@@ -548,19 +586,21 @@ def subm_conv_banded(window, wsub, interpret, features, weights, bases, rel,
     wslice^T @ (.), accumulated across blocks (subm_conv_dw_pallas), plus
     the compact miss-list term."""
     return _banded_fwd_impl(window, wsub, interpret, features, weights,
-                            bases, rel, sub_offs, mrows, mnbrs, moffs)
+                            bases, rel, sub_offs, active, mrows, mnbrs,
+                            moffs)
 
 
 def _banded_conv_fwd(window, wsub, interpret, features, weights, bases, rel,
-                     sub_offs, mrows, mnbrs, moffs):
+                     sub_offs, active, mrows, mnbrs, moffs):
     out = _banded_fwd_impl(window, wsub, interpret, features, weights,
-                           bases, rel, sub_offs, mrows, mnbrs, moffs)
-    return out, (features, weights, bases, rel, sub_offs, mrows, mnbrs,
-                 moffs)
+                           bases, rel, sub_offs, active, mrows, mnbrs, moffs)
+    return out, (features, weights, bases, rel, sub_offs, active, mrows,
+                 mnbrs, moffs)
 
 
 def _banded_conv_bwd(window, wsub, interpret, res, g):
-    features, weights, bases, rel, sub_offs, mrows, mnbrs, moffs = res
+    (features, weights, bases, rel, sub_offs, active, mrows, mnbrs,
+     moffs) = res
     miss = MissList(rows=mrows, nbrs=mnbrs, offs=moffs)
     k = weights.shape[0]
 
@@ -569,7 +609,7 @@ def _banded_conv_bwd(window, wsub, interpret, res, g):
     g_c = g.astype(features.dtype)
     dfeat = subm_conv_pallas(
         g_c, bases, rel, w_prime, window=window, wsub=wsub,
-        sub_offs=sub_offs, interpret=interpret,
+        sub_offs=sub_offs, active=active, interpret=interpret,
     )
     dfeat = apply_miss_correction(dfeat, g_c, w_prime, miss)
     dfeat = dfeat.astype(features.dtype)
@@ -577,11 +617,11 @@ def _banded_conv_bwd(window, wsub, interpret, res, g):
     # dW: banded kernel + miss term.
     dw = subm_conv_dw_pallas(
         features, g, bases, rel, k, window=window, wsub=wsub,
-        sub_offs=sub_offs, interpret=interpret,
+        sub_offs=sub_offs, active=active, interpret=interpret,
     )
     dw = dw + _miss_dw(features, g, miss, k)
     dw = dw.astype(weights.dtype)
-    return (dfeat, dw, None, None, None, None, None, None)
+    return (dfeat, dw, None, None, None, None, None, None, None)
 
 
 subm_conv_banded.defvjp(_banded_conv_fwd, _banded_conv_bwd)
