@@ -132,7 +132,10 @@ def _build_one_pack(vox_src, valid, cfg: ModelConfig):
         banded = build_banded_pack(
             pack, caps, window=cfg.level_conv_windows(),
             wsub=cfg.level_conv_subwindows(),
-            miss_cap=cfg.conv_miss_cap,
+            # Misses accumulate per scene (windows are derived for
+            # intra-scene drift), so the compact-correction capacity
+            # scales with the scene count of this shard group.
+            miss_cap=cfg.conv_miss_cap * b,
         )
         pack = pack._replace(banded=banded)
     return pack

@@ -82,6 +82,52 @@ def _pairwise_bbox_cost(boxes_q, boxes_g, rotated, chunk: int = 128):
     return jnp.where(rotated, rot, aa)
 
 
+def _pairwise_costs_batch(boxes_q, boxes_g, rotated, chunk: int = 128):
+    """(B, Q, 7) x (B, G, 7) -> (B, Q, G) matcher DIoU costs.
+
+    The axis-aligned branch is vmapped (cheap). The rotated branch
+    (24-candidate polygon clip — by far the most expensive op in the whole
+    train step) runs under a sequential lax.map over scenes with a REAL
+    lax.cond on the per-scene `rotated` flag: only rotated-dataset scenes
+    (ARKitScenes — ~8% of the reference joint mixture, config:539/607-640)
+    pay for it. A vmap would turn the cond into a select and compute the
+    clip for every scene."""
+    b, q, _ = boxes_q.shape
+    g = boxes_g.shape[1]
+
+    def scene_aa(bq, bg):
+        bq6 = boxes_to_corner_format(
+            jnp.broadcast_to(bq[:, None, :6], (q, g, 6))
+        )
+        bg6 = boxes_to_corner_format(
+            jnp.broadcast_to(bg[None, :, :6], (q, g, 6))
+        )
+        return axis_aligned_diou_loss(bq6, bg6)
+
+    aa = jax.vmap(scene_aa)(boxes_q, boxes_g)
+
+    pad = (-q) % chunk
+
+    def scene_rot(args):
+        bq, bg, r = args
+
+        def compute(_):
+            blocks = jnp.pad(bq, ((0, pad), (0, 0))).reshape(-1, chunk, 7)
+
+            def block_cost(blk):  # (chunk, 7) -> (chunk, G)
+                return rotated_diou_3d_loss(
+                    jnp.broadcast_to(blk[:, None, :], (chunk, g, 7)),
+                    jnp.broadcast_to(bg[None, :, :], (chunk, g, 7)),
+                )
+
+            return jax.lax.map(block_cost, blocks).reshape(-1, g)[:q]
+
+        return jax.lax.cond(r, compute, lambda _: jnp.zeros((q, g)), None)
+
+    rot = jax.lax.map(scene_rot, (boxes_q, boxes_g, rotated))
+    return jnp.where(rotated[:, None, None], rot, aa)
+
+
 def _elementwise_bbox_loss(pred, tgt, rotated):
     """(..., 7) one-to-one DIoU loss, aa/rotated by scene flag."""
     aa = axis_aligned_diou_loss(
@@ -109,6 +155,7 @@ def match_scene(
     topk: jnp.ndarray,  # () int32
     cls_weight: float = 0.5,
     bbox_weight: float = 2.0,
+    bbox_cost: jnp.ndarray | None = None,  # (Q, G) precomputed (batch path)
 ) -> MatchResult:
     """Reference UniMatcher (criterion.py:287-320) on padded tensors."""
     q_cap = cls_logits.shape[0]
@@ -117,7 +164,8 @@ def match_scene(
 
     scores = jax.nn.softmax(cls_logits, axis=-1)  # (Q, NC+1)
     cls_cost = -scores[:, jnp.clip(gt.labels, 0, nc_max)]  # (Q, G)
-    bbox_cost = _pairwise_bbox_cost(boxes, gt.boxes, rotated)
+    if bbox_cost is None:
+        bbox_cost = _pairwise_bbox_cost(boxes, gt.boxes, rotated)
     cost = cls_weight * cls_cost + bbox_weight * bbox_cost
     cost = jax.lax.stop_gradient(cost)
 
@@ -161,10 +209,12 @@ def layer_loss_scene(
     rotated: jnp.ndarray,
     topk: jnp.ndarray,
     non_object_weight: float,
+    bbox_cost: jnp.ndarray | None = None,
 ):
     """One decoder layer, one scene -> (cls_loss, bbox_loss_sum, n_pairs)."""
     nc_max = cls_logits.shape[1] - 1
-    m = match_scene(cls_logits, boxes, query_valid, gt, rotated, topk)
+    m = match_scene(cls_logits, boxes, query_valid, gt, rotated, topk,
+                    bbox_cost=bbox_cost)
 
     # Weighted cross entropy, torch weighted-mean semantics
     # (criterion.py:106-108): sum(w_i * nll_i) / sum(w_i), padded queries out.
@@ -206,7 +256,9 @@ def criterion(
     reorder). Each local term is scaled by axis size so pmean recovers the
     global scene-mean."""
     num_layers = cls_logits.shape[0]
-    per_scene = jax.vmap(layer_loss_scene, in_axes=(0, 0, 0, 0, 0, 0, None))
+    per_scene = jax.vmap(
+        layer_loss_scene, in_axes=(0, 0, 0, 0, 0, 0, None, 0)
+    )
 
     def _global_sum(x):
         if axis_name is None:
@@ -221,6 +273,11 @@ def criterion(
 
     total = 0.0
     for layer in range(num_layers):
+        # Matcher box costs precomputed at batch level: the rotated clip
+        # only runs for rotated scenes (see _pairwise_costs_batch).
+        costs = jax.lax.stop_gradient(
+            _pairwise_costs_batch(boxes[layer], gt.boxes, rotated)
+        )
         cls_l, bbox_sum, n_pairs = per_scene(
             cls_logits[layer],
             boxes[layer],
@@ -229,6 +286,7 @@ def criterion(
             rotated,
             topk,
             non_object_weight,
+            costs,
         )
         cls_loss = jnp.mean(dataset_weights * cls_l)
         # Scene-mean over scenes that have matched pairs (reference skips

@@ -149,6 +149,9 @@ def _make_kernel(n_off: int, windows: tuple, wsubs: tuple, n_sub: int,
     def kernel(bases_ref, sub_offs_ref, active_ref, *refs):
         # refs: rel_0..rel_{K-1}, feat, weights, out, win_0..win_{K-1},
         #       acc, sem(K)
+        # bases/sub_offs arrive FLAT (nB*K / nB*nS*K): SMEM pads the last
+        # dim of scalar-prefetch arrays to 128 lanes, so a (nB, nS, 27)
+        # table would blow the 1 MB SMEM budget at production batch sizes.
         rels = refs[:n_off]
         feat_ref = refs[n_off]
         w_ref = refs[n_off + 1]
@@ -159,7 +162,9 @@ def _make_kernel(n_off: int, windows: tuple, wsubs: tuple, n_sub: int,
         kb = pl.program_id(0)
 
         def dma(o):
-            base = pl.multiple_of(bases_ref[kb, o], 16)  # host 16-aligns bases
+            base = pl.multiple_of(
+                bases_ref[kb * n_off + o], 16
+            )  # host 16-aligns bases
             return pltpu.make_async_copy(
                 feat_ref.at[pl.ds(base, windows[o])],
                 wins[o],
@@ -184,7 +189,9 @@ def _make_kernel(n_off: int, windows: tuple, wsubs: tuple, n_sub: int,
                 sub = rel.shape[0]
                 rows = sub // n_sub  # sublane rows per subgroup
                 for sg in range(n_sub):
-                    off = pl.multiple_of(sub_offs_ref[kb, sg, o], 16)
+                    off = pl.multiple_of(
+                        sub_offs_ref[(kb * n_sub + sg) * n_off + o], 16
+                    )
                     wslice = wins[o][pl.ds(off, wsubs[o]), :].astype(dtype)
                     rel_sg = rel[sg * rows : (sg + 1) * rows]  # (rows, LANE)
                     iota = jax.lax.broadcasted_iota(
@@ -295,8 +302,8 @@ def subm_conv_pallas(
         out_shape=jax.ShapeDtypeStruct((nb, sub, _LANE, cout), jnp.float32),
         interpret=interpret,
     )(
-        rulebook_bases,
-        sub_offs,
+        rulebook_bases.reshape(-1),  # flat SMEM tables: see kernel note
+        sub_offs.reshape(-1),
         active,
         *[rel_tiled[o] for o in range(k)],
         feat_pad,
@@ -317,7 +324,7 @@ def subm_conv_pallas(
 
 
 def _make_dw_kernel(window: int, wsub: int, n_sub: int, n_blocks: int,
-                    block: int, dtype=jnp.bfloat16):
+                    block: int, n_off: int, dtype=jnp.bfloat16):
     """Weight-gradient kernel, two-level like the forward. Grid (K, nB) —
     offset-major so each offset's dW block is revisited across consecutive
     steps and accumulates in VMEM. Per subgroup (rows = block voxels down
@@ -340,7 +347,8 @@ def _make_dw_kernel(window: int, wsub: int, n_sub: int, n_blocks: int,
         kb = pl.program_id(1)
 
         def dma(block_idx, slot):
-            base = pl.multiple_of(bases_ref[block_idx, o], 16)
+            # bases/sub_offs are FLAT in SMEM (see forward-kernel note).
+            base = pl.multiple_of(bases_ref[block_idx * n_off + o], 16)
             return pltpu.make_async_copy(
                 feat_ref.at[pl.ds(base, window + wsub)],
                 win.at[slot],
@@ -371,7 +379,9 @@ def _make_dw_kernel(window: int, wsub: int, n_sub: int, n_blocks: int,
             g = g_ref[...]  # (block, Cout)
             rows = block // n_sub  # voxels per subgroup
             for sg in range(n_sub):
-                off = pl.multiple_of(sub_offs_ref[kb, sg, o], 16)
+                off = pl.multiple_of(
+                    sub_offs_ref[(kb * n_sub + sg) * n_off + o], 16
+                )
                 wslice = win.at[kb % 2][pl.ds(off, wsub), :].astype(dtype)
                 rel_sg = rel[sg * rows : (sg + 1) * rows]  # (rows, 1)
                 iota = jax.lax.broadcasted_iota(
@@ -463,11 +473,18 @@ def subm_conv_dw_pallas(
         jnp.float32 if features.dtype == jnp.float32 else jnp.bfloat16
     )
     dw = pl.pallas_call(
-        _make_dw_kernel(window, wsub_max, ns, nb, block, kdtype),
+        _make_dw_kernel(window, wsub_max, ns, nb, block, k, kdtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, c_pad, cout_pad), jnp.float32),
         interpret=interpret,
-    )(rulebook_bases, sub_offs, active, rel_col, g_pad, feat_pad)
+    )(
+        rulebook_bases.reshape(-1),  # flat SMEM tables: see fwd kernel note
+        sub_offs.reshape(-1),
+        active,
+        rel_col,
+        g_pad,
+        feat_pad,
+    )
     return dw[:, :c, :cout]
 
 
