@@ -20,7 +20,7 @@ from unidet3d_tpu.parallel.train_step import (
 from unidet3d_tpu.train.optim import make_optimizer
 
 
-def main(subm_impl: str = "xla"):
+def main(subm_impl: str = "xla", remat: bool = True):
     cfg = default_config(
         axis_name="data",
         max_points=65536,
@@ -28,6 +28,7 @@ def main(subm_impl: str = "xla"):
         max_superpoints=2048,
         max_gts=64,
         subm_impl=subm_impl,
+        backbone_remat=remat,
     )
     model = ge._build(cfg)
     mesh = create_mesh(1)
@@ -73,4 +74,7 @@ def main(subm_impl: str = "xla"):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "xla")
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "xla",
+        remat=not (len(sys.argv) > 2 and sys.argv[2] == "noremat"),
+    )

@@ -84,7 +84,17 @@ class ModelConfig:
     # DMA stays block-wide.
     conv_wsub: int = 192  # y/z/center offsets
     conv_wsub_x: int = 384  # x offsets
-    conv_miss_cap: int = 16384  # compact out-of-window correction capacity
+    # Compact out-of-band correction capacity PER SCENE (scaled by the
+    # scenes per shard group at pack build). Misses land exclusively on
+    # the 18 x-offsets; measured per-scene need peaks at ~4.8k (mid
+    # levels, surface scenes) — 8192 gives ~1.7x margin while keeping the
+    # correction's gather/scatter/mask cost (proportional to the CAP, not
+    # the actual misses) in check. Overflow logs a warning.
+    conv_miss_cap: int = 8192
+    # Rematerialise backbone residual blocks in the training backward
+    # (trades one extra forward for activation memory). At bs8 x 65k-voxel
+    # scenes the activations fit HBM without it; flip on for bigger caps.
+    backbone_remat: bool = True
 
     @property
     def num_datasets(self) -> int:

@@ -245,6 +245,7 @@ class UNetBackbone(nn.Module):
     dtype: jnp.dtype = jnp.float32
     conv_window: int | tuple = 576  # see SpConvUNet.conv_window
     conv_wsub: int | tuple | None = None
+    remat: bool = True  # see SpConvUNet.remat / ModelConfig.backbone_remat
 
     @nn.compact
     def __call__(self, vox_feats: jnp.ndarray, pack: GridPack, train: bool):
@@ -271,6 +272,7 @@ class UNetBackbone(nn.Module):
             dtype=self.dtype,
             conv_window=self.conv_window,
             conv_wsub=self.conv_wsub,
+            remat=self.remat,
             name="unet",
         )(x, pack, train)
         x = MaskedBatchNorm(

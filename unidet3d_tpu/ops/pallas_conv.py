@@ -323,86 +323,91 @@ def subm_conv_pallas(
     return out
 
 
-def _make_dw_kernel(window: int, wsub: int, n_sub: int, n_blocks: int,
-                    block: int, n_off: int, dtype=jnp.bfloat16):
-    """Weight-gradient kernel, two-level like the forward. Grid (K, nB) —
-    offset-major so each offset's dW block is revisited across consecutive
-    steps and accumulates in VMEM. Per subgroup (rows = block voxels down
-    the SUBLANE axis — rel arrives as a free (V, 1) reshape view, so the
-    onehot is 2D and both matmuls have a single contracting dim; Mosaic's
-    tpu.matmul rejects multi-dim contractions on real hardware):
+def _make_dw_burst_kernel(n_off: int, windows: tuple, wsubs: tuple,
+                          n_sub: int, block: int, dtype=jnp.bfloat16):
+    """Weight-gradient kernel, BURST form mirroring the forward: grid (nB,),
+    all K window DMAs for a block in flight at once (per-offset STATIC
+    widths), the block's g read once, and dW (K, C, Cout) accumulated in
+    VMEM across the whole grid (out block index is constant). This replaces
+    the offset-major (K, nB) variant, which re-fetched the g block K times
+    and paid the max-over-offsets window width for every offset. Per
+    subgroup (rows of voxels down the SUBLANE axis; single-contraction
+    matmuls — Mosaic's tpu.matmul rejects multi-dim contractions on real
+    hardware):
 
-        s      = onehot_sg^T @ g_sg       (rows, Wsub)^T x (rows, Cout) MXU
-        dW[o] += wslice^T @ s             (Wsub, C)^T x (Wsub, Cout)    MXU
+        s      = onehot_sg^T @ g_sg      (rows, Wsub)^T x (rows, Cout) MXU
+        dW[o] += wslice^T @ s            (Wsub, C)^T x (Wsub, Cout)    MXU
+    """
 
-    `window`/`wsub` are the MAX over per-offset widths (offset is a grid
-    dim, so slice widths must be uniform); rel entries always fit because
-    they were built against the per-offset widths. The DMA covers
-    window + wsub rows so a max-width slice at the largest offset stays in
-    (zero-padded) bounds. Window DMAs are double-buffered across blocks."""
+    def kernel(bases_ref, sub_offs_ref, active_ref, *refs):
+        # refs: rel_0..rel_{K-1} (cols), g, feat, dw_out,
+        #       win_0..win_{K-1}, sem(K)
+        rels = refs[:n_off]
+        g_ref = refs[n_off]
+        feat_ref = refs[n_off + 1]
+        dw_ref = refs[n_off + 2]
+        wins = refs[n_off + 3 : n_off + 3 + n_off]
+        sem = refs[2 * n_off + 3]
+        kb = pl.program_id(0)
 
-    def kernel(bases_ref, sub_offs_ref, active_ref, rel_ref, g_ref, feat_ref,
-               dw_ref, win, sem):
-        o = pl.program_id(0)
-        kb = pl.program_id(1)
-
-        def dma(block_idx, slot):
-            # bases/sub_offs are FLAT in SMEM (see forward-kernel note).
-            base = pl.multiple_of(bases_ref[block_idx * n_off + o], 16)
+        def dma(o):
+            base = pl.multiple_of(bases_ref[kb * n_off + o], 16)
             return pltpu.make_async_copy(
-                feat_ref.at[pl.ds(base, window + wsub)],
-                win.at[slot],
-                sem.at[slot],
+                feat_ref.at[pl.ds(base, windows[o])],
+                wins[o],
+                sem.at[o],
             )
-
-        # Predication: inactive (fully-padded) blocks contribute exact
-        # zeros to dW. start/wait stay paired — dma(b) is started iff
-        # active[b] and waited iff active[b].
-        @pl.when((kb == 0) & (active_ref[0] != 0))
-        def _():
-            dma(0, 0).start()
 
         @pl.when(kb == 0)
         def _():
             dw_ref[...] = jnp.zeros_like(dw_ref)
 
-        nxt = jnp.minimum(kb + 1, n_blocks - 1)  # clamp: in-bounds SMEM read
-
-        @pl.when((kb + 1 < n_blocks) & (active_ref[nxt] != 0))
-        def _():
-            dma(nxt, (kb + 1) % 2).start()
-
+        # Fully-padded blocks contribute exact zeros — skip entirely.
         @pl.when(active_ref[kb] != 0)
         def _():
-            dma(kb, kb % 2).wait()
-            rel = rel_ref[0]  # (block, 1) int32, voxels down sublanes
-            g = g_ref[...]  # (block, Cout)
-            rows = block // n_sub  # voxels per subgroup
-            for sg in range(n_sub):
-                off = pl.multiple_of(
-                    sub_offs_ref[(kb * n_sub + sg) * n_off + o], 16
-                )
-                wslice = win.at[kb % 2][pl.ds(off, wsub), :].astype(dtype)
-                rel_sg = rel[sg * rows : (sg + 1) * rows]  # (rows, 1)
-                iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (rows, wsub), 1
-                )
-                onehot = (rel_sg == iota).astype(dtype)  # (rows, Wsub)
-                g_sg = g[sg * rows : (sg + 1) * rows]  # (rows, Cout)
-                # (rows, Wsub) x (rows, Cout) -> (Wsub, Cout)
-                s = jax.lax.dot_general(
-                    onehot,
-                    g_sg.astype(dtype),
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                # (Wsub, C) x (Wsub, Cout) -> (C, Cout)
-                dw_ref[0] += jax.lax.dot_general(
-                    wslice,
-                    s.astype(dtype),
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+            for o in range(n_off):
+                dma(o).start()
+            g = g_ref[0]  # (sub, LANE, Cout): LANE voxels on sublanes
+            sub = g.shape[0]
+            rows = sub // n_sub  # sublane rows per subgroup
+            for o in range(n_off):
+                dma(o).wait()
+                rel = rels[o][0]  # (sub, LANE) int32
+                for sg in range(n_sub):
+                    off = pl.multiple_of(
+                        sub_offs_ref[(kb * n_sub + sg) * n_off + o], 16
+                    )
+                    wslice = wins[o][pl.ds(off, wsubs[o]), :].astype(dtype)
+                    rel_sg = rel[sg * rows : (sg + 1) * rows]  # (rows, LANE)
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (*rel_sg.shape, wsubs[o]), 2
+                    )
+                    # (rows, LANE, Wsub), voxels on the (rows x LANE)
+                    # leading dims; collapse them so the contraction over
+                    # voxels is ONE full-depth single-contraction matmul
+                    # (Mosaic rejects multi-dim contractions on hardware,
+                    # and per-sublane-row matmuls are only 64 deep).
+                    onehot = (rel_sg[:, :, None] == iota).astype(dtype)
+                    nvox = rel_sg.shape[0] * rel_sg.shape[1]
+                    onehot2 = onehot.reshape(nvox, wsubs[o])
+                    g_sg = g[sg * rows : (sg + 1) * rows]  # (rows, LANE, C')
+                    g2 = g_sg.astype(dtype).reshape(nvox, g.shape[-1])
+                    # A = gathered features (the SAME matmul shape as the
+                    # forward), then dW[o] += A^T @ g — 4 MXU passes per
+                    # (offset, subgroup), vs 6 for the (onehot^T g) order
+                    # whose intermediate is Wsub-tall.
+                    a = jax.lax.dot_general(
+                        onehot2,
+                        wslice,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (nvox, C)
+                    dw_ref[o] += jax.lax.dot_general(
+                        a.astype(dtype),
+                        g2,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
 
     return kernel
 
@@ -420,60 +425,68 @@ def subm_conv_dw_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Banded weight gradient: dW[o] = sum_i feat[nbr(i,o)]^T grad[i].
-    Returns (K, C, Cout) fp32 (un-padded).
-
-    The offset axis is a GRID dim here, so widths are uniform: max over the
-    per-offset widths (rel entries always fit — built against per-offset
-    widths, each <= the max)."""
-    window = int(np.max(np.asarray(window)))
-    wsub_max = window if wsub is None else int(np.max(np.asarray(wsub)))
+    Returns (K, C, Cout) fp32 (un-padded). Burst form: see
+    _make_dw_burst_kernel."""
     v, c = features.shape
     cout = grad_out.shape[-1]
     nb = rulebook_bases.shape[0]
     block = v // nb
-    sub = block // _LANE
     ns = n_subgroups(block)
+    windows = tuple(
+        int(w) for w in np.broadcast_to(np.asarray(window), (k,))
+    )
+    if wsub is None:
+        wsubs = windows
+    else:
+        wsubs = tuple(
+            min(int(w), windows[i])
+            for i, w in enumerate(np.broadcast_to(np.asarray(wsub), (k,)))
+        )
     if sub_offs is None:
         sub_offs = jnp.zeros((nb, ns, k), jnp.int32)
-        wsub_max = window
+        wsubs = windows
     if active is None:
         active = jnp.ones((nb,), jnp.int32)
+    sub = block // _LANE
     c_pad = -(-c // 128) * 128
     cout_pad = -(-cout // 128) * 128
-    feat_pad = jnp.pad(features, ((0, window + wsub_max), (0, c_pad - c)))
-    g_pad = jnp.pad(grad_out, ((0, 0), (0, cout_pad - cout)))  # (V, Cout)
-    # Free reshape VIEW of the (K, V) rel table: voxels land on the sublane
-    # axis so the per-subgroup onehot is 2D — single-contraction matmuls
-    # (Mosaic's tpu.matmul rejects multi-dim contractions on hardware).
-    rel_col = rulebook_rel.reshape(k, v, 1)
+    feat_pad = jnp.pad(features, ((0, max(windows)), (0, c_pad - c)))
+    g_tiled = jnp.pad(grad_out, ((0, 0), (0, cout_pad - cout))).reshape(
+        nb, sub, _LANE, cout_pad
+    )
+    rel_tiled = rulebook_rel.reshape(k, nb, sub, _LANE)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # bases, sub_offs, active
-        grid=(k, nb),
+        num_scalar_prefetch=3,  # bases, sub_offs, active (flat, see fwd)
+        grid=(nb,),
         in_specs=[
+            *[
+                pl.BlockSpec(
+                    (1, sub, _LANE),
+                    (lambda kb, bases, soffs, act, _o=o: (kb, 0, 0)),
+                )
+                for o in range(k)
+            ],
             pl.BlockSpec(
-                (1, block, 1),
-                lambda o, kb, bases, soffs, act: (o, kb, 0),
-            ),
-            pl.BlockSpec(
-                (block, cout_pad),
-                lambda o, kb, bases, soffs, act: (kb, 0),
+                (1, sub, _LANE, cout_pad),
+                lambda kb, bases, soffs, act: (kb, 0, 0, 0),
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # feat (HBM)
         ],
+        # Constant out block: dW accumulates in VMEM across the whole grid.
         out_specs=pl.BlockSpec(
-            (1, c_pad, cout_pad), lambda o, kb, bases, soffs, act: (o, 0, 0)
+            (k, c_pad, cout_pad), lambda kb, bases, soffs, act: (0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, window + wsub_max, c_pad), features.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            *[pltpu.VMEM((w, c_pad), features.dtype) for w in windows],
+            pltpu.SemaphoreType.DMA((k,)),
         ],
     )
     kdtype = (
         jnp.float32 if features.dtype == jnp.float32 else jnp.bfloat16
     )
     dw = pl.pallas_call(
-        _make_dw_kernel(window, wsub_max, ns, nb, block, k, kdtype),
+        _make_dw_burst_kernel(k, windows, wsubs, ns, block, kdtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, c_pad, cout_pad), jnp.float32),
         interpret=interpret,
@@ -481,8 +494,8 @@ def subm_conv_dw_pallas(
         rulebook_bases.reshape(-1),  # flat SMEM tables: see fwd kernel note
         sub_offs.reshape(-1),
         active,
-        rel_col,
-        g_pad,
+        *[rel_tiled[o] for o in range(k)],
+        g_tiled,
         feat_pad,
     )
     return dw[:, :c, :cout]
