@@ -16,9 +16,13 @@ the K=27 offsets with double-buffered window DMAs:
 Mosaic layout notes: dynamic lane-dim indexing is not lowerable, so the
 offset axis is unrolled with one rel input per offset, and every block is
 carried in (8, 64)-tiled form (sublane x lane) — rel blocks are (1, 8, 64),
-outputs (1, 8, 64, C). Out-of-window entries are encoded rel = -1 (match
-nothing); the host counts them (`n_miss`) and the wrapper applies an exact
-XLA-gather correction only when any exist — typically never.
+outputs (1, 8, 64, C). Contractions must be SINGLE-dim (tpu.matmul rejects
+multi-dim contractions on hardware; interpret mode accepts them), and the
+scalar-prefetch tables are passed FLAT (SMEM pads the last dim to 128
+lanes). Out-of-band entries are encoded rel = -1 (match nothing); the host
+compacts them into per-level miss lists (x-offsets only in practice) and
+the wrapper applies an exact XLA-gather correction whose cost scales with
+the static cap — see ModelConfig.conv_miss_cap.
 """
 from __future__ import annotations
 
