@@ -45,7 +45,10 @@ class ExperimentConfig:
     ckpt_max_keep: int = 16
     val_interval_epochs: int = 16
     val_last_epochs: int = 16  # val every epoch for the last K epochs
-    eval_batch_size: int = 0  # 0 = one scene per mesh device
+    # 0 = 4 scenes per mesh device (batched inference amortises the
+    # decoder/fixed costs — measured 108 vs 122.6 ms/scene on a v5e;
+    # the reference TestLoop is bs=1). Set explicitly to trade memory.
+    eval_batch_size: int = 0
     seed: int = 0
     load_from: Optional[str] = None  # params checkpoint for (partial) init
     load_prefix: str = "backbone"  # subtree restored from load_from

@@ -184,7 +184,7 @@ def evaluate(exp: ExperimentConfig, state, model=None, table=None,
     metric = IndoorMetric(cfg, exp.datasets_classes)
     mesh = create_mesh()
     n_dev = mesh.devices.size
-    eval_bs = exp.eval_batch_size or n_dev
+    eval_bs = exp.eval_batch_size or 4 * n_dev
     assert eval_bs % n_dev == 0, (eval_bs, n_dev)
     fwd = make_eval_step(model, cfg, mesh)
 
