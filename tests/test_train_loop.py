@@ -101,8 +101,13 @@ def test_eval_loader_batches(tmp_path):
     assert len(groups) == 3
     n_reals = [g[4] for g in groups]
     assert n_reals == [2, 2, 1]
-    samples, batch, gt, pack, _ = groups[0]
+    samples, batch, gt, pack, _, cfg_b = groups[0]
     assert batch.points.shape[0] == 2
+    # Capacity buckets: the fake scenes are tiny, so the group collates at
+    # a bucket below the configured cap (floored at 4096 > 1024 here, so
+    # the floor bucket == min bucket == full cap for this tiny cfg).
+    assert cfg_b.max_points <= cfg.max_points or cfg_b is cfg
+    assert batch.points.shape[1] == cfg_b.max_points
     # Stacked per-shard pack form: leading dim == n_shards.
     import jax
 
@@ -110,10 +115,33 @@ def test_eval_loader_batches(tmp_path):
         assert leaf.shape[0] == 2
     # Padded last group repeats the final scene (collate's over-capacity
     # subsample differs per slot, so compare the raw pipeline samples).
-    s_last, batch_last, _, _, n_real = groups[2]
+    s_last, batch_last, _, _, n_real, _ = groups[2]
     np.testing.assert_array_equal(
         s_last[0]["points"], s_last[1]["points"]
     )
+
+
+def test_eval_loader_capacity_buckets(tmp_path):
+    """Groups collate at the smallest covering bucket; metrics consumers
+    get the bucket cfg to key compiled steps on."""
+    from tests.test_data_pipeline import write_fake_dataset
+    from unidet3d_tpu.data.datasets import IndoorDataset
+    from unidet3d_tpu.data.loader import EvalLoader, capacity_buckets
+    from unidet3d_tpu.data.pipelines import test_pipeline
+
+    root = str(tmp_path / "scannet")
+    write_fake_dataset(root, n_scenes=2)
+    cfg = small_config(max_points=32768, voxel_capacity=32768,
+                       max_superpoints=48)
+    assert capacity_buckets(cfg) == (8192, 16384, 32768)
+    ds = IndoorDataset(root, "infos.pkl", 0,
+                       pipeline=test_pipeline("scannet"), test_mode=True)
+    groups = list(EvalLoader(ds, cfg, batch_size=2, n_shards=1))
+    (samples, batch, gt, pack, n_real, cfg_b) = groups[0]
+    # Fake scenes are a few hundred points -> smallest bucket.
+    assert cfg_b.max_points == 8192
+    assert batch.points.shape[1] == 8192
+    assert cfg_b.voxel_capacity == 8192
 
 
 def test_allgather_object_roundtrip():

@@ -93,6 +93,27 @@ def eval_batches(dataset, cfg: ModelConfig):
         yield sample, batch, gt, pack
 
 
+def capacity_buckets(cfg: ModelConfig) -> tuple:
+    """Eval padding buckets: quarter / half / full of the configured point
+    capacity (floored so the deepest U-Net level keeps valid tile shapes).
+    Scenes are padded to STATIC capacities for XLA; most real scans fill
+    well under the worst-case cap, and while the pallas conv's empty-block
+    predication already skips padded conv work, every other op (BN,
+    elementwise, points ops, host<->device transport) still scales with
+    the cap — bucketing recovers that. One compile per bucket actually
+    used."""
+    full = cfg.max_points
+    return tuple(
+        sorted(
+            {
+                min(max(full // 4, 4096), full),
+                min(max(full // 2, 4096), full),
+                full,
+            }
+        )
+    )
+
+
 class EvalLoader:
     """Batched eval prefetcher: iterates one dataset's scenes in order in
     groups of `batch_size`, collating + building host rulebooks on a
@@ -100,23 +121,39 @@ class EvalLoader:
     TestLoop is bs=1 synchronous, unidet3d.py:475-538 — this path beats it
     rather than copying it).
 
-    The final group is padded by repeating the last scene; `n_real` marks
-    how many leading scenes are genuine. Yields
-    (samples, PointBatch, GTBatch, packs, n_real) where `packs` is the
-    stacked per-shard transport form (see batcher.build_packs).
+    Each group is padded to the smallest capacity BUCKET that covers its
+    largest scene (see capacity_buckets); the yielded `cfg` is the
+    bucket-adjusted ModelConfig the group was collated with — consumers
+    key their compiled steps on it. The final group is padded by repeating
+    the last scene; `n_real` marks how many leading scenes are genuine.
+    Yields (samples, PointBatch, GTBatch, packs, n_real, cfg) where
+    `packs` is the stacked per-shard transport form (batcher.build_packs).
     """
 
     def __init__(self, dataset, cfg: ModelConfig, batch_size: int,
-                 n_shards: int = 1, prefetch: int = 2):
+                 n_shards: int = 1, prefetch: int = 2,
+                 buckets: tuple | None = None):
         assert batch_size % n_shards == 0, (batch_size, n_shards)
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = batch_size
         self.n_shards = n_shards
+        self.buckets = capacity_buckets(cfg) if buckets is None else buckets
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._n_groups = -(-len(dataset) // batch_size)
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+
+    def _bucket_cfg(self, samples) -> ModelConfig:
+        import dataclasses
+
+        need = max(len(s["points"]) for s in samples)
+        cap = next((b for b in self.buckets if b >= need), self.buckets[-1])
+        if cap == self.cfg.max_points:
+            return self.cfg
+        return dataclasses.replace(
+            self.cfg, max_points=cap, voxel_capacity=cap
+        )
 
     def _worker(self):
         n = len(self.dataset)
@@ -124,13 +161,14 @@ class EvalLoader:
             lo = g * self.batch_size
             idxs = [min(lo + j, n - 1) for j in range(self.batch_size)]
             samples = [self.dataset[i] for i in idxs]
+            cfg_b = self._bucket_cfg(samples)
             batch, gt, pack = collate(
-                samples, self.cfg, training=False, n_shards=self.n_shards
+                samples, cfg_b, training=False, n_shards=self.n_shards
             )
             if self.n_shards == 1 and pack is not None:
                 pack = _tree_map(lambda x: x[None], pack)
             n_real = min(self.batch_size, n - lo)
-            self._q.put((samples, batch, gt, pack, n_real))
+            self._q.put((samples, batch, gt, pack, n_real, cfg_b))
         self._q.put(None)
 
     def __iter__(self):

@@ -186,7 +186,22 @@ def evaluate(exp: ExperimentConfig, state, model=None, table=None,
     n_dev = mesh.devices.size
     eval_bs = exp.eval_batch_size or 4 * n_dev
     assert eval_bs % n_dev == 0, (eval_bs, n_dev)
-    fwd = make_eval_step(model, cfg, mesh)
+
+    # One compiled eval step per capacity BUCKET actually encountered
+    # (EvalLoader pads each scene group to the smallest covering bucket —
+    # parameters are capacity-independent, so the same state serves all).
+    _steps = {}
+
+    def fwd_for(cfg_b):
+        key = cfg_b.max_points
+        if key not in _steps:
+            model_b = (
+                model
+                if cfg_b is cfg
+                else UniDet3DTPU(cfg=cfg_b, table=model.table)
+            )
+            _steps[key] = make_eval_step(model_b, cfg_b, mesh)
+        return _steps[key]
 
     n_scenes = 0
     t0 = time.time()
@@ -194,14 +209,14 @@ def evaluate(exp: ExperimentConfig, state, model=None, table=None,
         didx = ds.dataset_idx
         loader = EvalLoader(ds, cfg, eval_bs, n_shards=n_dev)
         scene_base = 0
-        for samples, batch_np, gt_np, pack_np, n_real in loader:
+        for samples, batch_np, gt_np, pack_np, n_real, cfg_b in loader:
             batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
             pack = jax.tree_util.tree_map(jnp.asarray, pack_np)
-            cls_logits, boxes, qvalid = fwd(
+            cls_logits, boxes, qvalid = fwd_for(cfg_b)(
                 state.params, state.batch_stats, batch, pack
             )
             det = predict_batch(
-                cfg, didx, cls_logits, boxes, qvalid,
+                cfg_b, didx, cls_logits, boxes, qvalid,
                 batch.points, batch.valid, batch.sp_ids,
             )
             det = jax.tree_util.tree_map(np.asarray, det)
