@@ -138,10 +138,18 @@ def test_eval_loader_capacity_buckets(tmp_path):
                        pipeline=test_pipeline("scannet"), test_mode=True)
     groups = list(EvalLoader(ds, cfg, batch_size=2, n_shards=1))
     (samples, batch, gt, pack, n_real, cfg_b) = groups[0]
-    # Fake scenes are a few hundred points -> smallest bucket.
-    assert cfg_b.max_points == 8192
-    assert batch.points.shape[1] == 8192
-    assert cfg_b.voxel_capacity == 8192
+    # Fake scenes are 2000 uniform-random points (no downsampling
+    # compression): the per-LEVEL voxel check rejects the 8192 bucket
+    # (its level-3 cap 1024 < ~1930 coarse voxels) and picks 16384 —
+    # the exact behaviour that protects sparse scans from coarse-level
+    # voxel drops a raw point-count heuristic would cause.
+    assert cfg_b.max_points == 16384
+    assert batch.points.shape[1] == 16384
+    assert cfg_b.voxel_capacity == 16384
+    needs = EvalLoader._scene_level_needs(
+        type("L", (), {"cfg": cfg})(), samples[0]
+    )
+    assert needs[0] <= 2000 and needs[-1] > 1024
 
 
 def test_allgather_object_roundtrip():

@@ -102,12 +102,15 @@ def capacity_buckets(cfg: ModelConfig) -> tuple:
     elementwise, points ops, host<->device transport) still scales with
     the cap — bucketing recovers that. One compile per bucket actually
     used."""
+    def a512(v):  # banded blocks are 512 voxels: caps must divide cleanly
+        return -(-v // 512) * 512
+
     full = cfg.max_points
     return tuple(
         sorted(
             {
-                min(max(full // 4, 4096), full),
-                min(max(full // 2, 4096), full),
+                min(a512(max(full // 4, 4096)), full),
+                min(a512(max(full // 2, 4096)), full),
                 full,
             }
         )
@@ -144,36 +147,77 @@ class EvalLoader:
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
+    def _scene_level_needs(self, sample) -> np.ndarray:
+        """Per-U-Net-level voxel counts of one scene (upper bound: collate
+        may still subsample points above the bucket cap)."""
+        pts = sample["points"]
+        c = sample.get("elastic_coords")
+        if c is None:
+            c = pts[:, :3] / self.cfg.voxel_size
+        ic = np.floor(c - c.min(0)).astype(np.int64)
+        ic = np.clip(ic, 0, 4095)
+        needs = []
+        for _ in range(len(self.cfg.num_planes)):
+            key = (ic[:, 0] << 24) | (ic[:, 1] << 12) | ic[:, 2]
+            needs.append(len(np.unique(key)))
+            ic >>= 1
+        return np.asarray(needs)
+
     def _bucket_cfg(self, samples) -> ModelConfig:
+        """Smallest bucket whose PER-LEVEL capacities cover the group —
+        checked against actual (quantized) voxel counts, because coarse
+        levels compress less than 2x per level on sparse scans and a
+        point-count heuristic could silently drop their voxels."""
         import dataclasses
 
-        need = max(len(s["points"]) for s in samples)
-        cap = next((b for b in self.buckets if b >= need), self.buckets[-1])
-        if cap == self.cfg.max_points:
-            return self.cfg
-        return dataclasses.replace(
-            self.cfg, max_points=cap, voxel_capacity=cap
+        need_pts = max(len(s["points"]) for s in samples)
+        need_vox = np.max(
+            np.stack([self._scene_level_needs(s) for s in samples]), axis=0
         )
+        for cap in self.buckets:
+            if cap >= self.cfg.max_points:
+                break
+            cfg_b = dataclasses.replace(
+                self.cfg,
+                max_points=cap,
+                # Never exceed the configured voxel cap (deployments may
+                # shrink it below max_points for memory).
+                voxel_capacity=min(cap, self.cfg.voxel_capacity),
+            )
+            per_scene_caps = cfg_b.level_capacities(1)
+            if need_pts <= cap and all(
+                n <= c for n, c in zip(need_vox, per_scene_caps)
+            ):
+                return cfg_b
+        return self.cfg
 
     def _worker(self):
         n = len(self.dataset)
-        for g in range(self._n_groups):
-            lo = g * self.batch_size
-            idxs = [min(lo + j, n - 1) for j in range(self.batch_size)]
-            samples = [self.dataset[i] for i in idxs]
-            cfg_b = self._bucket_cfg(samples)
-            batch, gt, pack = collate(
-                samples, cfg_b, training=False, n_shards=self.n_shards
-            )
-            if self.n_shards == 1 and pack is not None:
-                pack = _tree_map(lambda x: x[None], pack)
-            n_real = min(self.batch_size, n - lo)
-            self._q.put((samples, batch, gt, pack, n_real, cfg_b))
-        self._q.put(None)
+        try:
+            for g in range(self._n_groups):
+                lo = g * self.batch_size
+                idxs = [min(lo + j, n - 1) for j in range(self.batch_size)]
+                samples = [self.dataset[i] for i in idxs]
+                cfg_b = self._bucket_cfg(samples)
+                batch, gt, pack = collate(
+                    samples, cfg_b, training=False, n_shards=self.n_shards
+                )
+                if self.n_shards == 1 and pack is not None:
+                    pack = _tree_map(lambda x: x[None], pack)
+                n_real = min(self.batch_size, n - lo)
+                self._q.put((samples, batch, gt, pack, n_real, cfg_b))
+        except BaseException as e:  # surface in the consumer, don't hang it
+            self._err = e
+        finally:
+            self._q.put(None)
+
+    _err: BaseException | None = None
 
     def __iter__(self):
         while True:
             item = self._q.get()
             if item is None:
+                if self._err is not None:
+                    raise RuntimeError("EvalLoader worker failed") from self._err
                 return
             yield item

@@ -24,9 +24,13 @@ inline int64_t pack(int64_t b, int64_t x, int64_t y, int64_t z) {
   return (b << 36) | (x << 24) | (y << 12) | z;
 }
 
+// min_serial: stay single-threaded below this n. The default suits
+// cheap per-item bodies (sentinel writes); loops whose ITERATIONS are
+// heavy (per-block banded build, per-offset neighbor merges) pass a
+// small value so they parallelise even at n in the tens-to-thousands.
 template <typename F>
-void pfor(int64_t n, int n_threads, F f) {
-  if (n_threads <= 1 || n < 4096) {
+void pfor(int64_t n, int n_threads, F f, int64_t min_serial = 4096) {
+  if (n_threads <= 1 || n < min_serial) {
     for (int64_t i = 0; i < n; ++i) f(i);
     return;
   }
@@ -131,7 +135,9 @@ void unidet3d_build_gridpack(
     // are sorted and D_o is a constant where coords stay in range), so a
     // single two-pointer MERGE replaces cur_n binary searches — the
     // dominant cost of this builder on 131k-voxel scenes.
-    pfor(27, n_threads, [&](int64_t o) {
+    pfor(
+        27, n_threads,
+        [&](int64_t o) {  // heavy per-iteration: O(cur_n)
       if (o == 13) {  // center = self
         for (int64_t i = 0; i < cur_n; ++i)
           nbr[i * 27 + o] = static_cast<int32_t>(i);
@@ -159,7 +165,7 @@ void unidet3d_build_gridpack(
         nbr[i * 27 + o] = static_cast<int32_t>(
             (j < cur_n && kptr[j] == qk) ? j : cap);
       }
-    });
+    }, /*min_serial=*/1);
 
     if (lvl == n_levels - 1) break;
 
@@ -221,6 +227,7 @@ void unidet3d_build_banded(
   // Per-block miss lists, concatenated + ordered afterwards.
   std::vector<std::vector<int64_t>> block_miss(nb);  // packed (o<<40 | row)
 
+  // Heavy per-iteration (27 offsets x block rows): thread at any nb.
   pfor(nb, n_threads, [&](int64_t kb) {
     const int32_t* nb_ptr = neighbors + kb * block * 27;
     int32_t any_valid = 0;
@@ -264,7 +271,7 @@ void unidet3d_build_banded(
       }
     }
     active[kb] = any_valid;
-  });
+  }, /*min_serial=*/1);
 
   // Misses ordered by (offset, row) to match np.nonzero on the (K, V) table.
   std::vector<int64_t> all;

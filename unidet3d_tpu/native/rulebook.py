@@ -135,6 +135,7 @@ def build_banded(
     lib = _load()
     assert lib is not None, "native rulebook library unavailable"
     v = neighbors.shape[0]
+    assert v % block == 0, (v, block)  # same contract as the numpy twin
     nb = v // block
     if n_threads is None:
         n_threads = min(os.cpu_count() or 1, 16)

@@ -262,7 +262,11 @@ def build_banded_pack(
     `window` / `wsub`: int (uniform), or per-level sequences whose entries
     are an int or a (K,) per-offset width tuple
     (ModelConfig.level_conv_windows / level_conv_subwindows)."""
-    from .pallas_conv import build_banded_rulebook, build_miss_list
+    from .pallas_conv import (
+        build_banded_rulebook,
+        build_miss_list,
+        warn_miss_overflow,
+    )
 
     def per_level(w):
         if w is None or np.isscalar(w):
@@ -292,13 +296,7 @@ def build_banded_pack(
             (bs, so, rl, ac, rows, nbrs, offs, total) = native_rb.build_banded(
                 nbr, cap, b, w27, ws27, n_subgroups(b), miss_cap
             )
-            if total > miss_cap:
-                import logging
-
-                logging.getLogger("unidet3d_tpu").warning(
-                    "miss list overflow: %d > %d — widen the conv window",
-                    total, miss_cap,
-                )
+            warn_miss_overflow(total, miss_cap)
             bases.append(bs)
             soffs.append(so)
             rel.append(rl)

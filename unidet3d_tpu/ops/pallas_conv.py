@@ -92,6 +92,11 @@ def build_banded_rulebook(
     wsub=None uses the full window (single-level behaviour)."""
     v, k = neighbors.shape
     assert v % block == 0, (v, block)
+    # Host subgroup boundaries (block // ns voxels) must coincide with the
+    # kernel's sublane-row boundaries ((block // LANE) // ns rows x LANE).
+    assert block % (n_subgroups(block) * _LANE) == 0, (
+        block, n_subgroups(block),
+    )
     windows = np.broadcast_to(np.asarray(window, np.int64), (k,))
     if wsub is None:
         wsubs = windows
@@ -236,24 +241,30 @@ def subm_conv_pallas(
     """Fused two-level banded subm conv. Returns (V, Cout) fp32.
 
     `window` (DMA) and `wsub` (onehot) are ints or (K,) per-offset widths —
-    must match what the host rulebook was built with. wsub=None / missing
-    sub_offs degenerates to single-level (wsub = window, offsets 0)."""
+    must match what the host rulebook was built with. wsub=None means
+    SINGLE-LEVEL semantics (wsub = window): a rulebook built with
+    wsub=None has all-zero sub_offs (its clip limit is 0), so any caller-
+    provided sub_offs are ignored rather than applied against full-window
+    slices (which would run the window slice out of bounds and silently
+    corrupt outputs if the pack was actually built with a narrower
+    wsub)."""
     v, c = features.shape
     k = weights.shape[0]
     windows = tuple(
         int(w) for w in np.broadcast_to(np.asarray(window), (k,))
     )
+    nb = rulebook_bases.shape[0]
+    block = v // nb
+    sub = block // _LANE
+    ns = n_subgroups(block)
     if wsub is None:
         wsubs = windows
+        sub_offs = None  # see docstring: single-level, offsets are zero
     else:
         wsubs = tuple(
             min(int(w), windows[i])
             for i, w in enumerate(np.broadcast_to(np.asarray(wsub), (k,)))
         )
-    nb = rulebook_bases.shape[0]
-    block = v // nb
-    sub = block // _LANE
-    ns = n_subgroups(block)
     if sub_offs is None:
         sub_offs = jnp.zeros((nb, ns, k), jnp.int32)
         wsubs = windows
@@ -328,7 +339,7 @@ def subm_conv_pallas(
 
 
 def _make_dw_burst_kernel(n_off: int, windows: tuple, wsubs: tuple,
-                          n_sub: int, block: int, dtype=jnp.bfloat16):
+                          n_sub: int, dtype=jnp.bfloat16):
     """Weight-gradient kernel, BURST form mirroring the forward: grid (nB,),
     all K window DMAs for a block in flight at once (per-offset STATIC
     widths), the block's g read once, and dW (K, C, Cout) accumulated in
@@ -430,7 +441,8 @@ def subm_conv_dw_pallas(
 ) -> jnp.ndarray:
     """Banded weight gradient: dW[o] = sum_i feat[nbr(i,o)]^T grad[i].
     Returns (K, C, Cout) fp32 (un-padded). Burst form: see
-    _make_dw_burst_kernel."""
+    _make_dw_burst_kernel. wsub=None means single-level semantics —
+    caller sub_offs are ignored (see subm_conv_pallas docstring)."""
     v, c = features.shape
     cout = grad_out.shape[-1]
     nb = rulebook_bases.shape[0]
@@ -441,6 +453,7 @@ def subm_conv_dw_pallas(
     )
     if wsub is None:
         wsubs = windows
+        sub_offs = None
     else:
         wsubs = tuple(
             min(int(w), windows[i])
@@ -490,7 +503,7 @@ def subm_conv_dw_pallas(
         jnp.float32 if features.dtype == jnp.float32 else jnp.bfloat16
     )
     dw = pl.pallas_call(
-        _make_dw_burst_kernel(k, windows, wsubs, ns, block, kdtype),
+        _make_dw_burst_kernel(k, windows, wsubs, ns, kdtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, c_pad, cout_pad), jnp.float32),
         interpret=interpret,
@@ -516,6 +529,19 @@ class MissList(NamedTuple):
     offs: np.ndarray
 
 
+def warn_miss_overflow(total: int, miss_cap: int) -> None:
+    """Shared overflow policy for the numpy and native miss-list builders:
+    entries beyond the static cap are dropped (an accuracy, not a crash,
+    problem) and the host logs once per build."""
+    if total > miss_cap:
+        import logging
+
+        logging.getLogger("unidet3d_tpu").warning(
+            "miss list overflow: %d > %d — widen the conv window",
+            total, miss_cap,
+        )
+
+
 def build_miss_list(
     miss_idx: np.ndarray, capacity: int, miss_cap: int
 ) -> MissList:
@@ -524,12 +550,8 @@ def build_miss_list(
     offs, rows = np.nonzero(miss_idx < capacity)
     nbrs = miss_idx[offs, rows]
     n = len(rows)
+    warn_miss_overflow(n, miss_cap)
     if n > miss_cap:
-        import logging
-
-        logging.getLogger("unidet3d_tpu").warning(
-            "miss list overflow: %d > %d — widen the conv window", n, miss_cap
-        )
         rows, nbrs, offs = rows[:miss_cap], nbrs[:miss_cap], offs[:miss_cap]
 
     def pad(a, fill):
