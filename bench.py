@@ -54,11 +54,15 @@ def _bench_forward(cfg, iters=20):
     # relay would dominate the measurement).
     batch_np, _ = ge._synthetic_inputs(cfg, b=1, as_numpy=True)
     # Warm once (first call compiles the native .so / touches caches), then
-    # time the steady-state loader-thread cost.
+    # take the best of 3 for the steady-state loader-thread cost (single
+    # shots are noisy under ambient host load).
     pack_np = build_packs(batch_np.vox_src, batch_np.valid, cfg, n_shards=1)
-    t0 = time.perf_counter()
-    pack_np = build_packs(batch_np.vox_src, batch_np.valid, cfg, n_shards=1)
-    t_pack = time.perf_counter() - t0
+    t_pack = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pack_np = build_packs(batch_np.vox_src, batch_np.valid, cfg,
+                              n_shards=1)
+        t_pack = min(t_pack, time.perf_counter() - t0)
     batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
     pack = jax.tree_util.tree_map(jnp.asarray, pack_np)
 
