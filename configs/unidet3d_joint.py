@@ -14,12 +14,19 @@ def get_config() -> ExperimentConfig:
                 ann_train="scannet_infos_train.pkl",
                 ann_val="scannet_infos_val.pkl",
             ),
-            DatasetSpec(
-                name="s3dis",
-                data_root="data/s3dis",
-                ann_train="s3dis_infos_Area_1_2_3_4_6.pkl",
-                ann_val="s3dis_infos_Area_5.pkl",
-                partition=0.33,
+            # S3DIS: five per-area train datasets, each partition 0.33
+            # (reference config:600-614 lists Areas 1/2/3/4/6 as separate
+            # datasets); produced one pkl per area by
+            # tools/convert_mmdet3d_infos.py. Val = Area 5 (config:676-687).
+            *(
+                DatasetSpec(
+                    name="s3dis",
+                    data_root="data/s3dis",
+                    ann_train=f"s3dis_infos_Area_{a}.pkl",
+                    ann_val="s3dis_infos_Area_5.pkl" if a == 1 else None,
+                    partition=0.33,
+                )
+                for a in (1, 2, 3, 4, 6)
             ),
             # Partitions mirror the reference joint config (config:607-640):
             # s3dis 0.33 (per area), multiscan 0.25, 3rscan 0.15,

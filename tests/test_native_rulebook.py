@@ -89,18 +89,21 @@ def test_native_banded_bit_exact():
         wsubs = np.array(
             [144 if o // 9 != 1 else 80 for o in range(27)], np.int64
         )
-        rb = build_banded_rulebook(
-            nbr, cap, block=block, window=windows, wsub=wsubs
-        )
-        ml = build_miss_list(rb.miss_idx, cap, miss_cap=4096)
-        (bs, so, rl, ac, rows, nbrs, offs, total) = native.build_banded(
-            nbr, cap, block, windows, wsubs, n_subgroups(block), 4096
-        )
-        np.testing.assert_array_equal(bs, rb.bases)
-        np.testing.assert_array_equal(so, rb.sub_offs)
-        np.testing.assert_array_equal(rl, rb.rel)
-        np.testing.assert_array_equal(ac, rb.active)
-        assert total == rb.n_miss
-        np.testing.assert_array_equal(rows, ml.rows)
-        np.testing.assert_array_equal(nbrs, ml.nbrs)
-        np.testing.assert_array_equal(offs, ml.offs)
+        for align in (16, 32, 64):
+            rb = build_banded_rulebook(
+                nbr, cap, block=block, window=windows, wsub=wsubs,
+                align=align,
+            )
+            ml = build_miss_list(rb.miss_idx, cap, miss_cap=4096)
+            (bs, so, rl, ac, rows, nbrs, offs, total) = native.build_banded(
+                nbr, cap, block, windows, wsubs, n_subgroups(block), 4096,
+                align=align,
+            )
+            np.testing.assert_array_equal(bs, rb.bases)
+            np.testing.assert_array_equal(so, rb.sub_offs)
+            np.testing.assert_array_equal(rl, rb.rel)
+            np.testing.assert_array_equal(ac, rb.active)
+            assert total == rb.n_miss
+            np.testing.assert_array_equal(rows, ml.rows)
+            np.testing.assert_array_equal(nbrs, ml.nbrs)
+            np.testing.assert_array_equal(offs, ml.offs)

@@ -113,7 +113,7 @@ def test_banded_conv_custom_vjp_matches_xla_grads():
 
     def loss_banded(feat, weights):
         out = subm_conv_banded(
-            128, None, True, feat, weights,
+            128, None, True, 1, feat, weights,
             jnp.asarray(rb.bases), jnp.asarray(rb.rel),
             jnp.asarray(rb.sub_offs), jnp.asarray(rb.active),
             jnp.asarray(ml.rows), jnp.asarray(ml.nbrs), jnp.asarray(ml.offs),
@@ -167,7 +167,7 @@ def test_per_offset_windows_match_gather_form_with_grads():
 
     def loss_banded(feat, weights):
         out = subm_conv_banded(
-            windows, None, True, feat, weights,
+            windows, None, True, 1, feat, weights,
             jnp.asarray(rb.bases), jnp.asarray(rb.rel),
             jnp.asarray(rb.sub_offs), jnp.asarray(rb.active),
             jnp.asarray(ml.rows), jnp.asarray(ml.nbrs), jnp.asarray(ml.offs),
@@ -241,7 +241,7 @@ def test_two_level_banding_matches_gather_form_with_grads():
 
     def loss_banded(feat, weights):
         out = subm_conv_banded(
-            windows, wsubs, True, feat, weights,
+            windows, wsubs, True, 1, feat, weights,
             jnp.asarray(rb.bases), jnp.asarray(rb.rel),
             jnp.asarray(rb.sub_offs), jnp.asarray(rb.active),
             jnp.asarray(ml.rows), jnp.asarray(ml.nbrs), jnp.asarray(ml.offs),
@@ -277,7 +277,7 @@ def test_two_level_multi_subgroup_block():
     ref = np.asarray(subm_conv(vf, jnp.asarray(nbr), jnp.asarray(w)))
     out = np.asarray(
         subm_conv_banded(
-            windows, wsubs, True, vf, jnp.asarray(w),
+            windows, wsubs, True, 1, vf, jnp.asarray(w),
             jnp.asarray(rb.bases), jnp.asarray(rb.rel),
             jnp.asarray(rb.sub_offs), jnp.asarray(rb.active),
             jnp.asarray(ml.rows), jnp.asarray(ml.nbrs), jnp.asarray(ml.offs),
@@ -317,7 +317,7 @@ def test_empty_block_predication():
 
     def loss_banded(feat, weights):
         out = subm_conv_banded(
-            256, 144, True, feat, weights,
+            256, 144, True, 1, feat, weights,
             jnp.asarray(rb.bases), jnp.asarray(rb.rel),
             jnp.asarray(rb.sub_offs), jnp.asarray(rb.active),
             jnp.asarray(ml.rows), jnp.asarray(ml.nbrs), jnp.asarray(ml.offs),
@@ -339,4 +339,104 @@ def test_empty_block_predication():
     )
     np.testing.assert_allclose(
         np.asarray(gw_b), np.asarray(gw_ref), rtol=5e-2, atol=1e-1
+    )
+
+
+def test_channel_packed_conv_matches_gather_form():
+    """pack=2/4 channel packing (features viewed as (V/p, 128)): value parity
+    vs the XLA gather form, fused and unfused output matmuls, integer inputs
+    so any mismatch is a logic bug."""
+    import pytest
+
+    from unidet3d_tpu.ops.pallas_conv import build_miss_list, choose_pack
+
+    rng = np.random.RandomState(3)
+    grid, _, nbr, _ = _setup()
+    cap = 1024
+    for cin, want_pack in ((32, 4), (64, 2)):
+        align = 16 * want_pack
+        vf = jnp.asarray(rng.randint(-3, 4, (cap, cin)).astype(np.float32))
+        w = jnp.asarray(rng.randint(-2, 3, (27, cin, 24)).astype(np.float32))
+        rb = build_banded_rulebook(
+            nbr, cap, block=128, window=256, wsub=128, align=align
+        )
+        assert (rb.bases % align == 0).all()
+        assert (rb.sub_offs % align == 0).all()
+        assert choose_pack(cin, (256,) * 27, (128,) * 27, want_pack) == want_pack
+        ml = build_miss_list(rb.miss_idx, cap, miss_cap=4096)
+        ref = np.asarray(subm_conv(vf, jnp.asarray(nbr), w))
+        nv = int(grid.n_voxels)
+        for fuse in (False, True):
+            out = subm_conv_pallas(
+                vf, jnp.asarray(rb.bases), jnp.asarray(rb.rel), w,
+                window=256, wsub=128,
+                sub_offs=jnp.asarray(rb.sub_offs),
+                active=jnp.asarray(rb.active),
+                interpret=True, pack_limit=want_pack, fuse=fuse,
+            )
+            from unidet3d_tpu.ops.pallas_conv import (
+                MissList,
+                apply_miss_correction,
+            )
+
+            out = apply_miss_correction(
+                out, vf, w,
+                MissList(
+                    rows=jnp.asarray(ml.rows), nbrs=jnp.asarray(ml.nbrs),
+                    offs=jnp.asarray(ml.offs),
+                ),
+            )
+            np.testing.assert_allclose(
+                np.asarray(out)[:nv], ref[:nv], rtol=0, atol=1e-4,
+                err_msg=f"cin={cin} fuse={fuse}",
+            )
+
+
+def test_channel_packed_vjp_matches_xla_grads():
+    """Full custom-VJP parity (fwd + dfeat + dW) at pack_limit=4 with a
+    64-aligned rulebook — the production level-0 configuration in miniature."""
+    import jax
+
+    from unidet3d_tpu.ops.pallas_conv import build_miss_list, subm_conv_banded
+
+    rng = np.random.RandomState(11)
+    grid, _, nbr, _ = _setup()
+    cap, cin, cout = 1024, 32, 32
+    vf = jnp.asarray(rng.randint(-3, 4, (cap, cin)).astype(np.float32))
+    w_j = jnp.asarray(rng.randint(-2, 3, (27, cin, cout)).astype(np.float32))
+    rb = build_banded_rulebook(
+        nbr, cap, block=128, window=256, wsub=128, align=64
+    )
+    ml = build_miss_list(rb.miss_idx, cap, miss_cap=4096)
+    nv = int(grid.n_voxels)
+    mask = (np.arange(cap) < nv)[:, None]
+    gdir = jnp.asarray(
+        rng.randint(-2, 3, (cap, cout)).astype(np.float32)
+    ) * mask
+    nbr_j = jnp.asarray(nbr)
+
+    def loss_ref(feat, weights):
+        return jnp.sum(subm_conv(feat, nbr_j, weights) * gdir)
+
+    def loss_banded(feat, weights):
+        out = subm_conv_banded(
+            256, 128, True, 4, feat, weights,
+            jnp.asarray(rb.bases), jnp.asarray(rb.rel),
+            jnp.asarray(rb.sub_offs), jnp.asarray(rb.active),
+            jnp.asarray(ml.rows), jnp.asarray(ml.nbrs), jnp.asarray(ml.offs),
+        )
+        return jnp.sum(out * gdir)
+
+    v_b, (gf_b, gw_b) = jax.value_and_grad(
+        loss_banded, argnums=(0, 1)
+    )(vf, w_j)
+    v_ref, (gf_ref, gw_ref) = jax.value_and_grad(loss_ref, argnums=(0, 1))(
+        vf, w_j
+    )
+    np.testing.assert_allclose(float(v_b), float(v_ref), rtol=0, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(gf_b)[:nv], np.asarray(gf_ref)[:nv], rtol=0, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(gw_b), np.asarray(gw_ref), rtol=0, atol=1e-3
     )

@@ -180,3 +180,38 @@ def test_apply_overrides(tmp_path):
     assert exp2.epochs == 5
     assert exp2.model.query_thr == 16
     assert exp2.lr == 0.001
+
+
+def test_steps_per_epoch_derived_from_data():
+    """Data-derived epoch length follows the reference formula:
+    ceil(sum(partition-scaled dataset lengths) / batch_size) (mmengine
+    EpochBasedTrainLoop over the concat mixture, ref config:600-645)."""
+    from unidet3d_tpu.core.experiment import resolve_steps_per_epoch
+
+    exp = ExperimentConfig(
+        model=None, datasets=(), batch_size=8, epochs=1024,
+    )
+    # Reference joint mixture lengths (train scenes x partition):
+    # scannet 1201x1.0, s3dis 5 areas x0.33 (68+71+23+49+67 scenes),
+    # multiscan 0.25x230, 3rscan 0.15x1335, scannetpp 0.33x712,
+    # arkitscenes 0.08x4498.
+    lengths = [
+        int(1201 * 1.0),
+        *(max(1, int(n * 0.33)) for n in (68, 71, 23, 49, 67)),
+        max(1, int(230 * 0.25)),
+        max(1, int(1335 * 0.15)),
+        max(1, int(712 * 0.33)),
+        max(1, int(4498 * 0.08)),
+    ]
+    total = sum(lengths)
+    exp2 = resolve_steps_per_epoch(exp, total)
+    assert exp2.steps_per_epoch == -(-total // 8)
+    assert exp2.total_steps == 1024 * exp2.steps_per_epoch
+    # Joint mixture is ~2x the ScanNet-only 150-step epoch the old constant
+    # assumed — the bug VERDICT r2 flagged.
+    assert exp2.steps_per_epoch > 250
+    # Explicit value wins.
+    exp3 = resolve_steps_per_epoch(
+        dataclasses.replace(exp, steps_per_epoch=150), total
+    )
+    assert exp3.steps_per_epoch == 150

@@ -135,15 +135,41 @@ class ModelConfig:
             )
         return tuple(out)
 
+    def level_pack_align(self) -> Tuple[int, ...]:
+        """Per-level rulebook base/sub_offs alignment = 16 * (the channel-
+        packing factor of that level's residual-block convs). The packed
+        pallas kernel (ops/pallas_conv.py choose_pack) views features as
+        (V/p, 128) — p channel-slices per 128-lane tile — and slices the
+        window in packed rows, so host offsets must be 16*p-aligned.
+        num_planes <= 32 packs 4x, <= 64 packs 2x; wider levels (and the
+        2x-wide tail-concat convs, which derive their own smaller p from
+        their input width) keep plain 16."""
+        out = []
+        for c in self.num_planes:
+            p = 4 if c <= 32 else (2 if c <= 64 else 1)
+            out.append(16 * p)
+        return tuple(out)
+
     def level_conv_subwindows(self) -> Tuple[Tuple[int, ...], ...]:
         """Per-level (27,) subgroup onehot widths, each clamped to that
-        level's window so the host rulebook and kernel stay consistent."""
+        level's window so the host rulebook and kernel stay consistent.
+
+        Packed levels get WIDER subwindows: the coarser 16*p offset
+        alignment costs up to 16*p-16 rows of drift margin, and the packed
+        onehot contracts wsub/p lanes so the extra width is free in MXU
+        passes (256/4=64 and 448/4=112 both fit one 128-deep pass)."""
         out = []
-        for w27 in self.level_conv_windows():
+        aligns = self.level_pack_align()
+        for lvl, w27 in enumerate(self.level_conv_windows()):
+            if aligns[lvl] >= 64:
+                wy, wx = max(self.conv_wsub, 256), max(self.conv_wsub_x, 448)
+            elif aligns[lvl] == 32:
+                wy, wx = max(self.conv_wsub, 224), self.conv_wsub_x
+            else:
+                wy, wx = self.conv_wsub, self.conv_wsub_x
             out.append(
                 tuple(
-                    min(self.conv_wsub_x if (o // 9 != 1) else self.conv_wsub,
-                        w27[o])
+                    min(wx if (o // 9 != 1) else wy, w27[o])
                     for o in range(27)
                 )
             )

@@ -34,7 +34,12 @@ class ExperimentConfig:
     # Schedule (reference config:716-730).
     batch_size: int = 8
     epochs: int = 1024
-    steps_per_epoch: int = 150
+    # 0 = derive from data: ceil(len(ConcatDataset)/batch_size), i.e. one
+    # pass over the partition-scaled concat mixture per epoch (reference
+    # mmengine EpochBasedTrainLoop semantics; lengths at ref
+    # s3dis_dataset.py:102-106, joint mixture config:600-645). An explicit
+    # value overrides (fixed-length epochs).
+    steps_per_epoch: int = 0
     lr: float = 2e-4
     weight_decay: float = 0.05
     lr_power: float = 0.9
@@ -55,7 +60,21 @@ class ExperimentConfig:
 
     @property
     def total_steps(self) -> int:
+        assert self.steps_per_epoch > 0, (
+            "steps_per_epoch=0 means derive-from-data: call "
+            "resolve_steps_per_epoch(exp, dataset_len) first"
+        )
         return self.epochs * self.steps_per_epoch
+
+
+def resolve_steps_per_epoch(exp: ExperimentConfig, dataset_len: int):
+    """Fill in data-derived epoch length (reference epoch semantics: one
+    pass over the partition-scaled concat dataset). No-op when the config
+    sets an explicit steps_per_epoch."""
+    if exp.steps_per_epoch > 0:
+        return exp
+    steps = max(1, -(-dataset_len // exp.batch_size))
+    return dataclasses.replace(exp, steps_per_epoch=steps)
 
 
 def load_experiment(path: str) -> ExperimentConfig:

@@ -132,6 +132,7 @@ def _build_one_pack(vox_src, valid, cfg: ModelConfig):
         banded = build_banded_pack(
             pack, caps, window=cfg.level_conv_windows(),
             wsub=cfg.level_conv_subwindows(),
+            align=cfg.level_pack_align(),
             # Misses accumulate per scene (windows are derived for
             # intra-scene drift), so the compact-correction capacity
             # scales with the scene count of this shard group.

@@ -64,10 +64,15 @@ class TrainLoader:
                 # == mesh size; see parallel.train_step.make_train_step).
                 pack = _tree_map(lambda x: x[None], pack)
             batch = (batch, gt, pack)
-            try:
-                self._q.put(batch, timeout=60)
-            except queue.Full:
-                continue
+            # Re-offer the SAME batch on a slow consumer: a built batch
+            # (~1.3 s of bs8 rulebook work) must never be thrown away. The
+            # timeout only exists so close() can stop a blocked worker.
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=5)
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self) -> Iterator:
         return self
@@ -82,15 +87,6 @@ class TrainLoader:
                 self._q.get_nowait()
             except queue.Empty:
                 break
-
-
-def eval_batches(dataset, cfg: ModelConfig):
-    """Sequential bs=1 eval iterator (reference val batch_size=1,
-    config:648). Yields (sample, PointBatch, GTBatch, GridPack)."""
-    for i in range(len(dataset)):
-        sample = dataset[i]
-        batch, gt, pack = collate([sample], cfg, training=False)
-        yield sample, batch, gt, pack
 
 
 def capacity_buckets(cfg: ModelConfig) -> tuple:

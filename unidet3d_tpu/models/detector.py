@@ -147,6 +147,7 @@ class UniDet3DTPU(nn.Module):
             dtype=jnp.dtype(cfg.compute_dtype),
             conv_window=cfg.level_conv_windows(),
             conv_wsub=cfg.level_conv_subwindows(),
+            conv_align=cfg.level_pack_align(),
             remat=cfg.backbone_remat,
             name="backbone",
         )(vox_feats, pack, train)

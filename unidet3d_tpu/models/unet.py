@@ -42,6 +42,9 @@ class SubmConv(nn.Module):
     # ride in the banded tuple — remat would turn it into a tracer).
     conv_window: int | tuple = 576
     conv_wsub: int | tuple | None = None  # subgroup onehot width(s)
+    # Host rulebook base/sub_offs alignment (16*p enables channel packing
+    # up to p — ModelConfig.level_pack_align; must match the pack build).
+    pack_align: int = 16
 
     @nn.compact
     def __call__(
@@ -61,6 +64,7 @@ class SubmConv(nn.Module):
             return subm_conv_banded(
                 self.conv_window, self.conv_wsub,
                 jax.default_backend() != "tpu",
+                self.pack_align // 16,
                 x.astype(self.dtype), w,
                 bases, rel, sub_offs, active, mrows, mnbrs, moffs,
             )
@@ -79,6 +83,7 @@ class ResidualBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     conv_window: int | tuple = 576  # int or (27,) per-offset widths
     conv_wsub: int | tuple | None = None
+    pack_align: int = 16  # see SubmConv.pack_align
 
     @nn.compact
     def __call__(self, x, mask, neighbors, train: bool, banded=None):
@@ -101,7 +106,7 @@ class ResidualBlock(nn.Module):
         h = nn.relu(h)
         h = SubmConv(self.out_channels, dtype=self.dtype,
                      conv_window=self.conv_window, conv_wsub=self.conv_wsub,
-                     name="conv1")(
+                     pack_align=self.pack_align, name="conv1")(
             h, neighbors, banded
         )
         h = MaskedBatchNorm(
@@ -110,7 +115,7 @@ class ResidualBlock(nn.Module):
         h = nn.relu(h)
         h = SubmConv(self.out_channels, dtype=self.dtype,
                      conv_window=self.conv_window, conv_wsub=self.conv_wsub,
-                     name="conv2")(
+                     pack_align=self.pack_align, name="conv2")(
             h, neighbors, banded
         )
         return h + identity
@@ -135,6 +140,7 @@ class SpConvUNet(nn.Module):
     # pack build.
     conv_window: int | tuple = 576
     conv_wsub: int | tuple | None = None
+    conv_align: int | tuple = 16  # per-level pack alignment (see SubmConv)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pack: GridPack, train: bool):
@@ -155,6 +161,10 @@ class SpConvUNet(nn.Module):
         def level_wsub(lvl):
             w = self.conv_wsub
             return w[lvl] if isinstance(w, tuple) else w
+
+        def level_align(lvl):
+            a = self.conv_align
+            return a[lvl] if isinstance(a, tuple) else a
 
         def level_banded(lvl):
             b = pack.banded
@@ -177,6 +187,7 @@ class SpConvUNet(nn.Module):
                     dtype=self.dtype,
                     conv_window=level_window(lvl),
                     conv_wsub=level_wsub(lvl),
+                    pack_align=level_align(lvl),
                     name=f"level{lvl}_block{i}",
                 )(x, mask, nbr, train, level_banded(lvl))
             if lvl < levels - 1:
@@ -232,6 +243,7 @@ class SpConvUNet(nn.Module):
                     dtype=self.dtype,
                     conv_window=level_window(lvl),
                     conv_wsub=level_wsub(lvl),
+                    pack_align=level_align(lvl),
                     name=f"level{lvl}_tail{i}",
                 )(x, mask, nbr, train, level_banded(lvl))
         return x
@@ -245,6 +257,7 @@ class UNetBackbone(nn.Module):
     dtype: jnp.dtype = jnp.float32
     conv_window: int | tuple = 576  # see SpConvUNet.conv_window
     conv_wsub: int | tuple | None = None
+    conv_align: int | tuple = 16  # see SpConvUNet.conv_align
     remat: bool = True  # see SpConvUNet.remat / ModelConfig.backbone_remat
 
     @nn.compact
@@ -263,6 +276,7 @@ class UNetBackbone(nn.Module):
         x = SubmConv(self.num_planes[0], dtype=self.dtype,
                      conv_window=lvl0(self.conv_window),
                      conv_wsub=lvl0(self.conv_wsub),
+                     pack_align=lvl0(self.conv_align),
                      name="input_conv")(
             vox_feats, pack.neighbors[0], b0
         )
@@ -272,6 +286,7 @@ class UNetBackbone(nn.Module):
             dtype=self.dtype,
             conv_window=self.conv_window,
             conv_wsub=self.conv_wsub,
+            conv_align=self.conv_align,
             remat=self.remat,
             name="unet",
         )(x, pack, train)

@@ -212,15 +212,17 @@ void unidet3d_build_gridpack(
 //
 //   neighbors: (V, 27) int32 row-major, sentinel = capacity; V = nb*block.
 //   windows/wsubs: (27,) per-offset widths, wsubs pre-clamped to windows.
+//   align: bases/sub_offs rounded DOWN to this multiple (16, or 16*p for
+//   channel-packed kernels — see ops/pallas_conv.py choose_pack).
 //   Outputs preallocated: bases (nb,27), sub_offs (nb,n_sub,27),
 //   rel (27,V) K-major, active (nb,), miss_{rows,nbrs,offs} (miss_cap,)
 //   padded with 2^30 / 2^30 / 0. *n_miss = total misses BEFORE truncation.
 void unidet3d_build_banded(
     const int32_t* neighbors, int64_t v, int64_t capacity, int64_t block,
     const int64_t* windows, const int64_t* wsubs, int64_t n_sub,
-    int64_t miss_cap, int32_t n_threads, int32_t* bases, int32_t* sub_offs,
-    int32_t* rel, int32_t* active, int32_t* miss_rows, int32_t* miss_nbrs,
-    int32_t* miss_offs, int64_t* n_miss) {
+    int64_t miss_cap, int64_t align, int32_t n_threads, int32_t* bases,
+    int32_t* sub_offs, int32_t* rel, int32_t* active, int32_t* miss_rows,
+    int32_t* miss_nbrs, int32_t* miss_offs, int64_t* n_miss) {
   const int64_t nb = v / block;
   const int64_t sub_rows = block / n_sub;
   const int32_t kInt32Max = INT32_MAX;
@@ -232,7 +234,7 @@ void unidet3d_build_banded(
     const int32_t* nb_ptr = neighbors + kb * block * 27;
     int32_t any_valid = 0;
     for (int o = 0; o < 27; ++o) {
-      // Block base: min valid neighbor, INT_MAX->0, clamp, 16-align down.
+      // Block base: min valid neighbor, INT_MAX->0, clamp, align down.
       int32_t mn = kInt32Max;
       for (int64_t r = 0; r < block; ++r) {
         int32_t idx = nb_ptr[r * 27 + o];
@@ -241,12 +243,13 @@ void unidet3d_build_banded(
       if (mn != kInt32Max) any_valid = 1;
       int64_t base = (mn == kInt32Max) ? 0 : mn;
       base = std::min<int64_t>(base, std::max<int64_t>(capacity - 1, 0));
-      base -= base % 16;
+      base -= base % align;
       bases[kb * 27 + o] = static_cast<int32_t>(base);
       const int64_t w = windows[o], ws = wsubs[o];
-      const int64_t lim = std::max<int64_t>(w - ws, 0);
+      int64_t lim = std::max<int64_t>(w - ws, 0);
+      lim -= lim % align;  // clamped offsets must stay aligned
       for (int64_t sg = 0; sg < n_sub; ++sg) {
-        // Subgroup base -> 16-aligned offset into the window (floor-mod,
+        // Subgroup base -> aligned offset into the window (floor-mod,
         // matching numpy's sign semantics), clipped into [0, lim].
         int32_t smn = kInt32Max;
         for (int64_t r = sg * sub_rows; r < (sg + 1) * sub_rows; ++r) {
@@ -254,7 +257,7 @@ void unidet3d_build_banded(
           if (idx < capacity && idx < smn) smn = idx;
         }
         int64_t soff = ((smn == kInt32Max) ? 0 : smn) - base;
-        soff -= ((soff % 16) + 16) % 16;
+        soff -= ((soff % align) + align) % align;
         soff = std::clamp<int64_t>(soff, 0, lim);
         sub_offs[(kb * n_sub + sg) * 27 + o] = static_cast<int32_t>(soff);
         const int64_t shift = base + soff;

@@ -124,12 +124,14 @@ def build_banded(
     wsubs: np.ndarray,
     n_sub: int,
     miss_cap: int,
+    align: int = 16,
     n_threads: int | None = None,
 ):
     """Native two-level banded rulebook + compact miss list for one level.
 
     Bit-exact twin of ops/pallas_conv.py::build_banded_rulebook +
-    build_miss_list (tested in tests/test_native_rulebook.py). Returns
+    build_miss_list (tested in tests/test_native_rulebook.py). `align` =
+    base/sub_offs alignment (16*pack for channel-packed kernels). Returns
     (bases, sub_offs, rel, active, miss_rows, miss_nbrs, miss_offs,
     n_miss_total)."""
     lib = _load()
@@ -164,6 +166,7 @@ def build_banded(
         p(wsubs, ctypes.c_int64),
         ctypes.c_int64(n_sub),
         ctypes.c_int64(miss_cap),
+        ctypes.c_int64(align),
         ctypes.c_int32(n_threads),
         p(bases, ctypes.c_int32),
         p(sub_offs, ctypes.c_int32),

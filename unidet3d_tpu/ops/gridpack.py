@@ -256,12 +256,15 @@ def build_banded_pack(
     window=576,
     wsub=None,
     miss_cap: int = 16384,
+    align=16,
 ) -> BandedPack:
     """Host-side: convert every level's neighbor table to banded form.
 
     `window` / `wsub`: int (uniform), or per-level sequences whose entries
     are an int or a (K,) per-offset width tuple
-    (ModelConfig.level_conv_windows / level_conv_subwindows)."""
+    (ModelConfig.level_conv_windows / level_conv_subwindows).
+    `align`: int or per-level ints — base/sub_offs alignment, 16 * the
+    level's max channel-packing factor (ModelConfig.level_pack_align)."""
     from .pallas_conv import (
         build_banded_rulebook,
         build_miss_list,
@@ -277,6 +280,7 @@ def build_banded_pack(
 
     windows = per_level(window)
     wsubs = per_level(wsub)
+    aligns = per_level(align)
 
     from ..native import rulebook as native_rb
     from .pallas_conv import n_subgroups
@@ -286,6 +290,7 @@ def build_banded_pack(
     for lvl, cap in enumerate(capacities):
         nbr = np.asarray(pack.neighbors[lvl])
         b = min(block, cap)
+        al = int(aligns[lvl] if aligns[lvl] is not None else 16)
         if use_native:
             w27 = np.broadcast_to(np.asarray(windows[lvl], np.int64), (27,))
             ws27 = (
@@ -294,7 +299,7 @@ def build_banded_pack(
                 else np.broadcast_to(np.asarray(wsubs[lvl], np.int64), (27,))
             )
             (bs, so, rl, ac, rows, nbrs, offs, total) = native_rb.build_banded(
-                nbr, cap, b, w27, ws27, n_subgroups(b), miss_cap
+                nbr, cap, b, w27, ws27, n_subgroups(b), miss_cap, align=al
             )
             warn_miss_overflow(total, miss_cap)
             bases.append(bs)
@@ -306,7 +311,7 @@ def build_banded_pack(
             mo.append(offs)
             continue
         rb = build_banded_rulebook(
-            nbr, cap, block=b, window=windows[lvl], wsub=wsubs[lvl]
+            nbr, cap, block=b, window=windows[lvl], wsub=wsubs[lvl], align=al
         )
         ml = build_miss_list(rb.miss_idx, cap, miss_cap)
         bases.append(rb.bases)

@@ -81,7 +81,7 @@ def n_subgroups(block: int) -> int:
 
 def build_banded_rulebook(
     neighbors: np.ndarray, capacity: int, block: int = BLOCK,
-    window=WINDOW, wsub=None,
+    window=WINDOW, wsub=None, align: int = 16,
 ) -> BandedRulebook:
     """Convert a (V, K) neighbor table (sentinel = capacity) into the
     two-level banded form. numpy, vectorised; runs in the input pipeline.
@@ -89,7 +89,13 @@ def build_banded_rulebook(
     `window` (DMA width) and `wsub` (onehot width) may each be an int or a
     (K,) per-offset sequence (x-offsets drift a whole x-slab, y/z-offsets
     only a z-run — see ModelConfig.level_conv_windows / subwindows).
-    wsub=None uses the full window (single-level behaviour)."""
+    wsub=None uses the full window (single-level behaviour).
+
+    `align`: bases and sub_offs are rounded DOWN to this multiple. 16 covers
+    the kernel's sublane-aligned dynamic slices; CHANNEL-PACKED kernels
+    (subm_conv_pallas pack=p) view features as (V/p, 128) and slice in
+    packed rows, so they need 16*p alignment (ModelConfig.level_pack_align).
+    """
     v, k = neighbors.shape
     assert v % block == 0, (v, block)
     # Host subgroup boundaries (block // ns voxels) must coincide with the
@@ -113,7 +119,7 @@ def build_banded_rulebook(
     bases = big.min(axis=1)  # (nB, K); INT_MAX when block empty
     bases = np.where(bases == np.iinfo(np.int32).max, 0, bases)
     bases = np.minimum(bases, max(capacity - 1, 0))
-    bases = (bases - (bases % 16)).astype(np.int32)  # sublane-aligned DMA
+    bases = (bases - (bases % align)).astype(np.int32)  # sublane-aligned DMA
     # (16 covers bf16 (16,128) tiling; f32 (8,128) needs only 8.)
 
     # Subgroup bases, clamped into the window.
@@ -121,8 +127,9 @@ def build_banded_rulebook(
     sbase = big_s.min(axis=2)  # (nB, nS, K)
     sbase = np.where(sbase == np.iinfo(np.int32).max, 0, sbase)
     sub_offs = sbase - bases[:, None, :]
-    sub_offs = sub_offs - (sub_offs % 16)  # aligned dynamic sublane slice
+    sub_offs = sub_offs - (sub_offs % align)  # aligned dynamic sublane slice
     lim = (windows - wsubs)[None, None, :]
+    lim = lim - (lim % align)  # clamped offsets must stay aligned
     sub_offs = np.clip(sub_offs, 0, np.maximum(lim, 0)).astype(np.int32)
 
     rel = idx.reshape(nb, ns, sub_rows, k) - (
@@ -146,36 +153,72 @@ def build_banded_rulebook(
     )
 
 
-def _make_kernel(n_off: int, windows: tuple, wsubs: tuple, n_sub: int,
-                 dtype=jnp.bfloat16):
+def choose_pack(c: int, windows, wsubs, limit: int) -> int:
+    """Largest channel-packing factor p usable for a conv with `c` input
+    channels: p channel-slices of width 128/p share one 128-lane tile, so
+    window DMAs, onehot widths and the dominant matmul K-dims all shrink p
+    times. Requires c <= 128/p, every (packed) width a multiple of 16
+    sublanes, and host bases/sub_offs aligned to 16*p (`limit` = align//16
+    from the rulebook build)."""
+    for p in (4, 2, 1):
+        if p > limit or c > 128 // p:
+            continue
+        if any(w % p or (w // p) % 16 for w in windows):
+            continue
+        if any(ws % p or (ws // p) % 16 for ws in wsubs):
+            continue
+        return p
+    return 1
+
+
+def _make_kernel(n_off: int, wp: tuple, wsp: tuple, n_sub: int,
+                 dtype, pack: int, c_slice: int, fuse: bool):
     """Burst-mode TWO-LEVEL kernel: all K window DMAs for a block launch at
     once (one buffer + semaphore per offset), then the compute loop drains
     them. Per offset the block's rows are processed in `n_sub` subgroups of
     2 sublane rows (128 voxels); each subgroup's onehot matmul reads only a
     `wsub`-wide dynamic slice of the window (host-rebased rel), cutting the
-    dominant onehot FLOPs 3-4x vs matching the whole window."""
+    dominant onehot FLOPs 3-4x vs matching the whole window.
+
+    CHANNEL PACKING (pack=p > 1): the wrapper reshapes the (V, c_slice)
+    feature array to (V/p, 128) — p consecutive voxel rows share one
+    128-lane tile — so `wp`/`wsp` arrive PRE-DIVIDED by p, window DMA bytes
+    drop p-fold (no dead lanes), and the onehot matmul contracts wsub/p
+    instead of wsub. The gathered (rows, LANE, 128) result holds all p
+    voxel-slices of the matched packed row; a VPU lane mask keeps only the
+    slice j = rel mod p, and the per-offset weight is TILED p times down
+    its 128 input lanes so the second matmul is unchanged.
+
+    FUSED OUTPUT MATMUL (fuse=True): instead of K x n_sub small
+    (128, lane) @ (lane, Cout) accumulations (whose issue latency, not
+    FLOPs, dominates at production sizes), gathered slices are staged into
+    a (sub, LANE, K*128) VMEM scratch and ONE long matmul per block
+    contracts all offsets at once against the (K*128, Cout) stacked
+    weights — same passes, one MXU instruction stream."""
 
     def kernel(bases_ref, sub_offs_ref, active_ref, *refs):
         # refs: rel_0..rel_{K-1}, feat, weights, out, win_0..win_{K-1},
-        #       acc, sem(K)
-        # bases/sub_offs arrive FLAT (nB*K / nB*nS*K): SMEM pads the last
-        # dim of scalar-prefetch arrays to 128 lanes, so a (nB, nS, 27)
-        # table would blow the 1 MB SMEM budget at production batch sizes.
+        #       staging (acc or g_all), sem(K)
+        # bases/sub_offs arrive FLAT (nB*K / nB*nS*K) and PRE-DIVIDED by
+        # pack: SMEM pads the last dim of scalar-prefetch arrays to 128
+        # lanes, so a (nB, nS, 27) table would blow the 1 MB SMEM budget at
+        # production batch sizes.
         rels = refs[:n_off]
         feat_ref = refs[n_off]
         w_ref = refs[n_off + 1]
         out_ref = refs[n_off + 2]
         wins = refs[n_off + 3 : n_off + 3 + n_off]
-        acc = refs[2 * n_off + 3]
+        stage = refs[2 * n_off + 3]  # g_all when fuse else acc
         sem = refs[2 * n_off + 4]
         kb = pl.program_id(0)
+        lane_w = pack * c_slice  # 128 when packed; c_pad tile otherwise
 
         def dma(o):
             base = pl.multiple_of(
                 bases_ref[kb * n_off + o], 16
-            )  # host 16-aligns bases
+            )  # host aligns bases to 16*pack; wrapper pre-divides by pack
             return pltpu.make_async_copy(
-                feat_ref.at[pl.ds(base, windows[o])],
+                feat_ref.at[pl.ds(base, wp[o])],
                 wins[o],
                 sem.at[o],
             )
@@ -191,7 +234,8 @@ def _make_kernel(n_off: int, windows: tuple, wsubs: tuple, n_sub: int,
         def _():
             for o in range(n_off):
                 dma(o).start()
-            acc[...] = jnp.zeros_like(acc)
+            if not fuse:
+                stage[...] = jnp.zeros_like(stage)
             for o in range(n_off):
                 dma(o).wait()
                 rel = rels[o][0]  # (sub, LANE) int32
@@ -201,28 +245,83 @@ def _make_kernel(n_off: int, windows: tuple, wsubs: tuple, n_sub: int,
                     off = pl.multiple_of(
                         sub_offs_ref[(kb * n_sub + sg) * n_off + o], 16
                     )
-                    wslice = wins[o][pl.ds(off, wsubs[o]), :].astype(dtype)
+                    wslice = wins[o][pl.ds(off, wsp[o]), :].astype(dtype)
                     rel_sg = rel[sg * rows : (sg + 1) * rows]  # (rows, LANE)
+                    if pack == 1:
+                        prel = rel_sg
+                    else:
+                        # floor-div would map -1 (no match) to 0 under lax
+                        # truncation; force the sentinel through.
+                        prel = jnp.where(rel_sg < 0, -1, rel_sg // pack)
                     iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (*rel_sg.shape, wsubs[o]), 2
+                        jnp.int32, (*rel_sg.shape, wsp[o]), 2
                     )
-                    onehot = (rel_sg[:, :, None] == iota).astype(dtype)
-                    # (rows, LANE, Wsub) x (Wsub, C) -> (rows, LANE, C)
+                    onehot = (prel[:, :, None] == iota).astype(dtype)
+                    # (rows, LANE, Wsub/p) x (Wsub/p, lane_w)
                     g = jax.lax.dot_general(
                         onehot,
                         wslice,
                         dimension_numbers=(((2,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                    acc[sg * rows : (sg + 1) * rows] += jax.lax.dot_general(
-                        g.astype(dtype),
-                        w_ref[o].astype(dtype),
-                        dimension_numbers=(((2,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-            out_ref[0] = acc[...]
+                    if pack > 1:
+                        # Keep only the channel slice j = rel mod p; the
+                        # other p-1 slices belong to neighboring voxel rows.
+                        j = rel_sg - prel * pack  # (rows, LANE)
+                        lane = jax.lax.broadcasted_iota(
+                            jnp.int32, (*rel_sg.shape, lane_w), 2
+                        ) // c_slice
+                        g = jnp.where(lane == j[:, :, None], g, 0.0)
+                    lo = sg * rows
+                    if fuse:
+                        stage[lo : lo + rows, :, o * lane_w : (o + 1) * lane_w] = (
+                            g.astype(dtype)
+                        )
+                    else:
+                        stage[lo : lo + rows] += jax.lax.dot_general(
+                            g.astype(dtype),
+                            w_ref[o].astype(dtype),
+                            dimension_numbers=(((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+            if fuse:
+                # One long matmul: (sub, LANE, K*128) x (K*128, Cout).
+                out_ref[0] = jax.lax.dot_general(
+                    stage[...],
+                    w_ref[...],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                out_ref[0] = stage[...]
 
     return kernel
+
+
+def _pack_geometry(c: int, cout: int, features, weights, windows, wsubs,
+                   pack: int):
+    """Shared fwd/dW packing prep. Returns (pack, lane_w, wp, wsp,
+    feat_view, w_lane) where feat_view is the (possibly packed) HBM feature
+    layout padded by the max window, and w_lane is (K, lane_w, Cout) —
+    zero-padded (pack=1) or tiled down the lanes (pack>1)."""
+    k = weights.shape[0]
+    if pack > 1:
+        c_slice = 128 // pack
+        lane_w = 128
+        feat = jnp.pad(features, ((0, max(windows)), (0, c_slice - c)))
+        feat_view = feat.reshape(feat.shape[0] // pack, 128)
+        w_lane = jnp.pad(weights, ((0, 0), (0, c_slice - c), (0, 0)))
+        w_lane = jnp.tile(w_lane, (1, pack, 1))
+        wp = tuple(w // pack for w in windows)
+        wsp = tuple(w // pack for w in wsubs)
+    else:
+        c_slice = lane_w = -(-c // 128) * 128
+        feat_view = jnp.pad(
+            features, ((0, max(windows)), (0, lane_w - c))
+        )
+        w_lane = jnp.pad(weights, ((0, 0), (0, lane_w - c), (0, 0)))
+        wp, wsp = windows, wsubs
+    return c_slice, lane_w, wp, wsp, feat_view, w_lane
 
 
 def subm_conv_pallas(
@@ -237,6 +336,8 @@ def subm_conv_pallas(
     sub_offs: jnp.ndarray | None = None,  # (nB, nS, K)
     active: jnp.ndarray | None = None,  # (nB,) int32; None = all active
     interpret: bool = False,
+    pack_limit: int = 1,
+    fuse: bool | None = None,
 ) -> jnp.ndarray:
     """Fused two-level banded subm conv. Returns (V, Cout) fp32.
 
@@ -247,7 +348,13 @@ def subm_conv_pallas(
     provided sub_offs are ignored rather than applied against full-window
     slices (which would run the window slice out of bounds and silently
     corrupt outputs if the pack was actually built with a narrower
-    wsub)."""
+    wsub).
+
+    `pack_limit`: max channel-packing factor the HOST RULEBOOK's alignment
+    permits (ModelConfig.level_pack_align // 16); the effective pack also
+    requires c <= 128/p and divisible widths (choose_pack). `fuse` (None =
+    auto) stages gathers in VMEM and runs one long output matmul per block
+    — see _make_kernel."""
     v, c = features.shape
     k = weights.shape[0]
     windows = tuple(
@@ -271,12 +378,21 @@ def subm_conv_pallas(
     if active is None:
         active = jnp.ones((nb,), jnp.int32)
     cout = weights.shape[-1]
-    # Mosaic window DMAs must cover full 128-lane tiles: pad the channel dim
-    # (zero weight rows keep the math exact).
-    c_pad = -(-c // 128) * 128
-    feat_pad = jnp.pad(features, ((0, max(windows)), (0, c_pad - c)))
-    weights_k = jnp.pad(weights, ((0, 0), (0, c_pad - c), (0, 0)))
-    c = c_pad
+    pack = choose_pack(c, windows, wsubs, pack_limit)
+    # Kernel matmul dtype follows the features dtype: bf16 in production,
+    # f32 for exact-parity tests / fp32 configs.
+    kdtype = (
+        jnp.float32 if features.dtype == jnp.float32 else jnp.bfloat16
+    )
+    c_slice, lane_w, wp, wsp, feat_view, w_lane = _pack_geometry(
+        c, cout, features, weights, windows, wsubs, pack
+    )
+    if fuse is None:
+        # The staged form needs lane_w == 128 (G scratch K*lane_w wide) and
+        # only pays in bf16 (f32 G + f32 windows would breach VMEM at
+        # production widths).
+        fuse = kdtype == jnp.bfloat16 and lane_w == 128
+    w_arg = w_lane.reshape(k * lane_w, cout) if fuse else w_lane
     rel_tiled = rulebook_rel.reshape(k, nb, sub, _LANE)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -291,9 +407,9 @@ def subm_conv_pallas(
                 for o in range(k)
             ],
             pl.BlockSpec(memory_space=pl.ANY),  # feat (HBM)
-            # weights fully resident in VMEM (<= 27*160*160*4 = 2.7 MB).
+            # weights fully resident in VMEM (<= 27*256*160*4 = 4.4 MB).
             pl.BlockSpec(
-                (k, c, cout), lambda kb, bases, soffs, act: (0, 0, 0)
+                w_arg.shape, lambda kb, bases, soffs, act: (0,) * w_arg.ndim
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -301,28 +417,28 @@ def subm_conv_pallas(
             lambda kb, bases, soffs, act: (kb, 0, 0, 0),
         ),
         scratch_shapes=[
-            *[pltpu.VMEM((w, c), features.dtype) for w in windows],
-            pltpu.VMEM((sub, _LANE, cout), jnp.float32),
+            *[pltpu.VMEM((w, lane_w), features.dtype) for w in wp],
+            (
+                pltpu.VMEM((sub, _LANE, k * lane_w), kdtype)
+                if fuse
+                else pltpu.VMEM((sub, _LANE, cout), jnp.float32)
+            ),
             pltpu.SemaphoreType.DMA((k,)),
         ],
     )
-    # Kernel matmul dtype follows the features dtype: bf16 in production,
-    # f32 for exact-parity tests / fp32 configs.
-    kdtype = (
-        jnp.float32 if features.dtype == jnp.float32 else jnp.bfloat16
-    )
     out = pl.pallas_call(
-        _make_kernel(k, windows, wsubs, ns, kdtype),
+        _make_kernel(k, wp, wsp, ns, kdtype, pack, c_slice, fuse),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, sub, _LANE, cout), jnp.float32),
         interpret=interpret,
     )(
-        rulebook_bases.reshape(-1),  # flat SMEM tables: see kernel note
-        sub_offs.reshape(-1),
+        # Flat SMEM tables (see kernel note), pre-divided into packed rows.
+        rulebook_bases.reshape(-1) // pack,
+        sub_offs.reshape(-1) // pack,
         active,
         *[rel_tiled[o] for o in range(k)],
-        feat_pad,
-        weights_k,
+        feat_view,
+        w_arg,
     )
     out = out.reshape(v, cout)
 
@@ -338,37 +454,47 @@ def subm_conv_pallas(
     return out
 
 
-def _make_dw_burst_kernel(n_off: int, windows: tuple, wsubs: tuple,
-                          n_sub: int, dtype=jnp.bfloat16):
+def _make_dw_burst_kernel(n_off: int, wp: tuple, wsp: tuple,
+                          n_sub: int, dtype, pack: int, c_slice: int,
+                          fuse: bool):
     """Weight-gradient kernel, BURST form mirroring the forward: grid (nB,),
     all K window DMAs for a block in flight at once (per-offset STATIC
-    widths), the block's g read once, and dW (K, C, Cout) accumulated in
-    VMEM across the whole grid (out block index is constant). This replaces
-    the offset-major (K, nB) variant, which re-fetched the g block K times
-    and paid the max-over-offsets window width for every offset. Per
-    subgroup (rows of voxels down the SUBLANE axis; single-contraction
-    matmuls — Mosaic's tpu.matmul rejects multi-dim contractions on real
-    hardware):
+    widths), the block's g read once, and dW accumulated in VMEM across the
+    whole grid (out block index is constant). This replaces the
+    offset-major (K, nB) variant, which re-fetched the g block K times and
+    paid the max-over-offsets window width for every offset. Per subgroup
+    (single-contraction matmuls — Mosaic's tpu.matmul rejects multi-dim
+    contractions on real hardware):
 
-        s      = onehot_sg^T @ g_sg      (rows, Wsub)^T x (rows, Cout) MXU
-        dW[o] += wslice^T @ s            (Wsub, C)^T x (Wsub, Cout)    MXU
-    """
+        a      = onehot_sg @ wslice      gathered features (fwd's matmul)
+        dW[o] += a^T @ g_sg              (nvox, lane)^T x (nvox, Cout) MXU
+
+    pack > 1: gathers run in the packed (V/p, 128) layout exactly like the
+    forward and dW accumulates in the PACKED lane space (K, 128, Cout); the
+    wrapper unpacks by summing the p channel-slices. fuse: the masked
+    gathers for all offsets stage into a (block, K*lane) scratch and ONE
+    long matmul per block contracts voxels for every offset at once."""
 
     def kernel(bases_ref, sub_offs_ref, active_ref, *refs):
         # refs: rel_0..rel_{K-1} (cols), g, feat, dw_out,
-        #       win_0..win_{K-1}, sem(K)
+        #       win_0..win_{K-1}, [g_all], sem(K)
         rels = refs[:n_off]
         g_ref = refs[n_off]
         feat_ref = refs[n_off + 1]
         dw_ref = refs[n_off + 2]
         wins = refs[n_off + 3 : n_off + 3 + n_off]
-        sem = refs[2 * n_off + 3]
+        if fuse:
+            g_all = refs[2 * n_off + 3]
+            sem = refs[2 * n_off + 4]
+        else:
+            sem = refs[2 * n_off + 3]
         kb = pl.program_id(0)
+        lane_w = pack * c_slice
 
         def dma(o):
             base = pl.multiple_of(bases_ref[kb * n_off + o], 16)
             return pltpu.make_async_copy(
-                feat_ref.at[pl.ds(base, windows[o])],
+                feat_ref.at[pl.ds(base, wp[o])],
                 wins[o],
                 sem.at[o],
             )
@@ -392,37 +518,61 @@ def _make_dw_burst_kernel(n_off: int, windows: tuple, wsubs: tuple,
                     off = pl.multiple_of(
                         sub_offs_ref[(kb * n_sub + sg) * n_off + o], 16
                     )
-                    wslice = wins[o][pl.ds(off, wsubs[o]), :].astype(dtype)
+                    wslice = wins[o][pl.ds(off, wsp[o]), :].astype(dtype)
                     rel_sg = rel[sg * rows : (sg + 1) * rows]  # (rows, LANE)
+                    if pack == 1:
+                        prel = rel_sg
+                    else:
+                        prel = jnp.where(rel_sg < 0, -1, rel_sg // pack)
                     iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (*rel_sg.shape, wsubs[o]), 2
+                        jnp.int32, (*rel_sg.shape, wsp[o]), 2
                     )
                     # (rows, LANE, Wsub), voxels on the (rows x LANE)
                     # leading dims; collapse them so the contraction over
                     # voxels is ONE full-depth single-contraction matmul
-                    # (Mosaic rejects multi-dim contractions on hardware,
-                    # and per-sublane-row matmuls are only 64 deep).
-                    onehot = (rel_sg[:, :, None] == iota).astype(dtype)
+                    # (per-sublane-row matmuls are only 64 deep).
+                    onehot = (prel[:, :, None] == iota).astype(dtype)
                     nvox = rel_sg.shape[0] * rel_sg.shape[1]
-                    onehot2 = onehot.reshape(nvox, wsubs[o])
-                    g_sg = g[sg * rows : (sg + 1) * rows]  # (rows, LANE, C')
-                    g2 = g_sg.astype(dtype).reshape(nvox, g.shape[-1])
-                    # A = gathered features (the SAME matmul shape as the
-                    # forward), then dW[o] += A^T @ g — 4 MXU passes per
-                    # (offset, subgroup), vs 6 for the (onehot^T g) order
-                    # whose intermediate is Wsub-tall.
+                    onehot2 = onehot.reshape(nvox, wsp[o])
+                    # A = gathered features (the SAME matmul as the fwd).
                     a = jax.lax.dot_general(
                         onehot2,
                         wslice,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )  # (nvox, C)
-                    dw_ref[o] += jax.lax.dot_general(
-                        a.astype(dtype),
-                        g2,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
+                    )  # (nvox, lane_w)
+                    if pack > 1:
+                        j = rel_sg.reshape(nvox)  # channel-slice selector
+                        j = j - (prel.reshape(nvox) * pack)
+                        lane = jax.lax.broadcasted_iota(
+                            jnp.int32, (nvox, lane_w), 1
+                        ) // c_slice
+                        a = jnp.where(lane == j[:, None], a, 0.0)
+                    lo = sg * nvox
+                    if fuse:
+                        g_all[lo : lo + nvox,
+                              o * lane_w : (o + 1) * lane_w] = a.astype(dtype)
+                    else:
+                        g_sg = g[sg * rows : (sg + 1) * rows]
+                        g2 = g_sg.astype(dtype).reshape(nvox, g.shape[-1])
+                        dw_ref[o] += jax.lax.dot_general(
+                            a.astype(dtype),
+                            g2,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+            if fuse:
+                # ONE voxel contraction for all offsets:
+                # (block, K*lane)^T x (block, Cout).
+                g2 = g.astype(dtype).reshape(
+                    sub * g.shape[1], g.shape[-1]
+                )
+                dw_ref[...] += jax.lax.dot_general(
+                    g_all[...],
+                    g2,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
     return kernel
 
@@ -438,11 +588,14 @@ def subm_conv_dw_pallas(
     sub_offs: jnp.ndarray | None = None,
     active: jnp.ndarray | None = None,  # (nB,) int32; None = all active
     interpret: bool = False,
+    pack_limit: int = 1,
+    fuse: bool | None = None,
 ) -> jnp.ndarray:
     """Banded weight gradient: dW[o] = sum_i feat[nbr(i,o)]^T grad[i].
     Returns (K, C, Cout) fp32 (un-padded). Burst form: see
     _make_dw_burst_kernel. wsub=None means single-level semantics —
-    caller sub_offs are ignored (see subm_conv_pallas docstring)."""
+    caller sub_offs are ignored (see subm_conv_pallas docstring).
+    pack_limit / fuse: see subm_conv_pallas."""
     v, c = features.shape
     cout = grad_out.shape[-1]
     nb = rulebook_bases.shape[0]
@@ -465,13 +618,22 @@ def subm_conv_dw_pallas(
     if active is None:
         active = jnp.ones((nb,), jnp.int32)
     sub = block // _LANE
-    c_pad = -(-c // 128) * 128
+    pack = choose_pack(c, windows, wsubs, pack_limit)
+    kdtype = (
+        jnp.float32 if features.dtype == jnp.float32 else jnp.bfloat16
+    )
+    c_slice, lane_w, wp, wsp, feat_view, _ = _pack_geometry(
+        c, cout, features, jnp.zeros((k, c, cout), features.dtype),
+        windows, wsubs, pack,
+    )
+    if fuse is None:
+        fuse = kdtype == jnp.bfloat16 and lane_w == 128
     cout_pad = -(-cout // 128) * 128
-    feat_pad = jnp.pad(features, ((0, max(windows)), (0, c_pad - c)))
     g_tiled = jnp.pad(grad_out, ((0, 0), (0, cout_pad - cout))).reshape(
         nb, sub, _LANE, cout_pad
     )
     rel_tiled = rulebook_rel.reshape(k, nb, sub, _LANE)
+    dw_shape = (k * lane_w, cout_pad) if fuse else (k, lane_w, cout_pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # bases, sub_offs, active (flat, see fwd)
@@ -492,29 +654,36 @@ def subm_conv_dw_pallas(
         ],
         # Constant out block: dW accumulates in VMEM across the whole grid.
         out_specs=pl.BlockSpec(
-            (k, c_pad, cout_pad), lambda kb, bases, soffs, act: (0, 0, 0)
+            dw_shape, lambda kb, bases, soffs, act: (0,) * len(dw_shape)
         ),
         scratch_shapes=[
-            *[pltpu.VMEM((w, c_pad), features.dtype) for w in windows],
+            *[pltpu.VMEM((w, lane_w), features.dtype) for w in wp],
+            *(
+                [pltpu.VMEM((block, k * lane_w), kdtype)]
+                if fuse
+                else []
+            ),
             pltpu.SemaphoreType.DMA((k,)),
         ],
     )
-    kdtype = (
-        jnp.float32 if features.dtype == jnp.float32 else jnp.bfloat16
-    )
     dw = pl.pallas_call(
-        _make_dw_burst_kernel(k, windows, wsubs, ns, kdtype),
+        _make_dw_burst_kernel(k, wp, wsp, ns, kdtype, pack, c_slice, fuse),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((k, c_pad, cout_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(dw_shape, jnp.float32),
         interpret=interpret,
     )(
-        rulebook_bases.reshape(-1),  # flat SMEM tables: see fwd kernel note
-        sub_offs.reshape(-1),
+        # Flat SMEM tables, pre-divided into packed rows (see fwd).
+        rulebook_bases.reshape(-1) // pack,
+        sub_offs.reshape(-1) // pack,
         active,
         *[rel_tiled[o] for o in range(k)],
         g_tiled,
-        feat_pad,
+        feat_view,
     )
+    dw = dw.reshape(k, lane_w, cout_pad)
+    if pack > 1:
+        # Sum the p channel-slices back into the true (K, C, Cout) grad.
+        dw = dw.reshape(k, pack, c_slice, cout_pad).sum(axis=1)
     return dw[:, :c, :cout]
 
 
@@ -614,11 +783,12 @@ def _miss_dw(
 # ---------------------------------------------------------------------------
 
 
-def _banded_fwd_impl(window, wsub, interpret, features, weights, bases, rel,
-                     sub_offs, active, mrows, mnbrs, moffs):
+def _banded_fwd_impl(window, wsub, interpret, pack_limit, features, weights,
+                     bases, rel, sub_offs, active, mrows, mnbrs, moffs):
     out = subm_conv_pallas(
         features, bases, rel, weights, window=window, wsub=wsub,
         sub_offs=sub_offs, active=active, interpret=interpret,
+        pack_limit=pack_limit,
     )
     return apply_miss_correction(
         out, features, weights, MissList(rows=mrows, nbrs=mnbrs, offs=moffs)
@@ -628,9 +798,9 @@ def _banded_fwd_impl(window, wsub, interpret, features, weights, bases, rel,
 from functools import partial as _partial  # noqa: E402
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def subm_conv_banded(window, wsub, interpret, features, weights, bases, rel,
-                     sub_offs, active, mrows, mnbrs, moffs):
+@_partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def subm_conv_banded(window, wsub, interpret, pack_limit, features, weights,
+                     bases, rel, sub_offs, active, mrows, mnbrs, moffs):
     """Fused two-level banded subm conv with a custom VJP (banded backward
     on both sides — no XLA row gathers anywhere in the training step).
 
@@ -638,23 +808,27 @@ def subm_conv_banded(window, wsub, interpret, features, weights, bases, rel,
     symmetric (pair (i, j, o) <-> (j, i, K-1-o), the verified scatter dual,
     sparse_conv.subm_conv_scatter), so dfeat = banded_conv(g, W') with
     W'[o] = W[K-1-o]^T, evaluated banded + exact miss correction.
-    d/dW: per (block, subgroup, offset) two MXU matmuls, onehot^T @ g then
-    wslice^T @ (.), accumulated across blocks (subm_conv_dw_pallas), plus
-    the compact miss-list term."""
-    return _banded_fwd_impl(window, wsub, interpret, features, weights,
-                            bases, rel, sub_offs, active, mrows, mnbrs,
-                            moffs)
+    d/dW: gathered features re-materialised banded then one voxel
+    contraction per (block, offset) accumulated across blocks
+    (subm_conv_dw_pallas), plus the compact miss-list term.
+    `pack_limit`: max channel-packing factor the host rulebook's alignment
+    permits (see subm_conv_pallas) — applies to fwd, dfeat and dW alike
+    (the mirrored conv picks its own effective pack from Cout)."""
+    return _banded_fwd_impl(window, wsub, interpret, pack_limit, features,
+                            weights, bases, rel, sub_offs, active, mrows,
+                            mnbrs, moffs)
 
 
-def _banded_conv_fwd(window, wsub, interpret, features, weights, bases, rel,
-                     sub_offs, active, mrows, mnbrs, moffs):
-    out = _banded_fwd_impl(window, wsub, interpret, features, weights,
-                           bases, rel, sub_offs, active, mrows, mnbrs, moffs)
+def _banded_conv_fwd(window, wsub, interpret, pack_limit, features, weights,
+                     bases, rel, sub_offs, active, mrows, mnbrs, moffs):
+    out = _banded_fwd_impl(window, wsub, interpret, pack_limit, features,
+                           weights, bases, rel, sub_offs, active, mrows,
+                           mnbrs, moffs)
     return out, (features, weights, bases, rel, sub_offs, active, mrows,
                  mnbrs, moffs)
 
 
-def _banded_conv_bwd(window, wsub, interpret, res, g):
+def _banded_conv_bwd(window, wsub, interpret, pack_limit, res, g):
     (features, weights, bases, rel, sub_offs, active, mrows, mnbrs,
      moffs) = res
     miss = MissList(rows=mrows, nbrs=mnbrs, offs=moffs)
@@ -666,6 +840,7 @@ def _banded_conv_bwd(window, wsub, interpret, res, g):
     dfeat = subm_conv_pallas(
         g_c, bases, rel, w_prime, window=window, wsub=wsub,
         sub_offs=sub_offs, active=active, interpret=interpret,
+        pack_limit=pack_limit,
     )
     dfeat = apply_miss_correction(dfeat, g_c, w_prime, miss)
     dfeat = dfeat.astype(features.dtype)
@@ -674,6 +849,7 @@ def _banded_conv_bwd(window, wsub, interpret, res, g):
     dw = subm_conv_dw_pallas(
         features, g, bases, rel, k, window=window, wsub=wsub,
         sub_offs=sub_offs, active=active, interpret=interpret,
+        pack_limit=pack_limit,
     )
     dw = dw + _miss_dw(features, g, miss, k)
     dw = dw.astype(weights.dtype)

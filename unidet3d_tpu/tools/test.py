@@ -25,7 +25,6 @@ def main():
     import jax
 
     from ..core.experiment import apply_overrides, load_experiment
-    from ..data.loader import eval_batches  # noqa: F401 (public API)
     from ..parallel.train_step import init_state
     from ..train.checkpoint import CheckpointManager
     from ..train.loop import build_datasets, build_model, evaluate

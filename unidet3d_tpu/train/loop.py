@@ -91,6 +91,16 @@ def train(exp: ExperimentConfig, resume: str | None = None):
     assert exp.batch_size % n_dev == 0, (
         f"batch_size {exp.batch_size} must divide over {n_dev} devices"
     )
+    train_sets = build_datasets(exp, "train")
+    assert train_sets, "no training datasets configured"
+    concat = ConcatDataset(train_sets)
+    # Data-derived epoch length (reference EpochBasedTrainLoop: one pass
+    # over the partition-scaled concat mixture) unless the config pins it.
+    from ..core.experiment import resolve_steps_per_epoch
+
+    exp = resolve_steps_per_epoch(exp, len(concat))
+    log.info("steps_per_epoch=%d (dataset %d scenes, bs %d)",
+             exp.steps_per_epoch, len(concat), exp.batch_size)
     optimizer = make_optimizer(
         base_lr=exp.lr,
         weight_decay=exp.weight_decay,
@@ -98,10 +108,8 @@ def train(exp: ExperimentConfig, resume: str | None = None):
         power=exp.lr_power,
         clip_norm=exp.clip_norm,
     )
-    train_sets = build_datasets(exp, "train")
-    assert train_sets, "no training datasets configured"
     loader = TrainLoader(
-        ConcatDataset(train_sets), exp.model, exp.batch_size, seed=exp.seed,
+        concat, exp.model, exp.batch_size, seed=exp.seed,
         n_shards=n_dev,
     )
 
