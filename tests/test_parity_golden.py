@@ -258,6 +258,246 @@ def test_batchnorm_torch_semantics():
     )
 
 
+# --------------------------------------------------------------------------
+# FULL-DETECTOR twin: voxelize -> U-Net -> pool -> decoder, plain numpy/torch
+# (a subm/strided/inverse conv is gather+matmul — no spconv needed), wired
+# through convert_torch_state_dict params. Pins the whole forward's numerics
+# modulo the released weights file (ref unidet3d.py:113-134 extract_feat +
+# spconv_unet.py:94-238 + encoder.py:82-283).
+# --------------------------------------------------------------------------
+
+
+def _well_scaled(sd):
+    """Kaiming-rescale a synthetic unit-variance state dict in place.
+
+    `_make_reference_state_dict` draws every tensor from N(0, 1); a 27-tap
+    conv then amplifies activations by ~sqrt(27*Cin) per layer, exploding
+    the net's output to ~1e5 and turning fp32 accumulation noise into
+    percent-level logit differences. Scaling multi-dim weights by
+    1/sqrt(fan_in) (and taming the BN affines) keeps every activation O(1)
+    so the twin comparison measures semantics, not noise amplification.
+    """
+    out = {}
+    for k, v in sd.items():
+        if k.endswith(".weight") and v.ndim > 1:
+            fan_in = int(np.prod(v.shape[1:]))
+            out[k] = v / np.sqrt(fan_in)
+        elif "running_mean" in k or (k.endswith(".bias") and v.ndim == 1):
+            out[k] = v * 0.1
+        else:
+            out[k] = v
+    return out
+
+
+def _np_bn_eval(x, sd, prefix, eps=1e-4):
+    """torch BatchNorm1d eval mode (running stats), ref unidet3d.py:104-111."""
+    w = sd[f"{prefix}.weight"].numpy()
+    b = sd[f"{prefix}.bias"].numpy()
+    m = sd[f"{prefix}.running_mean"].numpy()
+    v = sd[f"{prefix}.running_var"].numpy()
+    return ((x - m) / np.sqrt(v + 1e-4) * w + b).astype(np.float32)
+
+
+def _np_index(coords):
+    return {tuple(c): i for i, c in enumerate(coords)}
+
+
+def _np_subm3(x, coords, index, w5):
+    """spconv SubMConv3d k=3: out(p) = sum_k W[k] x(p + k - 1)."""
+    w = np.transpose(w5.numpy(), (1, 2, 3, 4, 0))  # (3,3,3,Cin,Cout)
+    out = np.zeros((len(x), w.shape[-1]), np.float32)
+    for kx in range(3):
+        for ky in range(3):
+            for kz in range(3):
+                d = (kx - 1, ky - 1, kz - 1)
+                idx = np.array(
+                    [index.get((c[0] + d[0], c[1] + d[1], c[2] + d[2]), -1)
+                     for c in coords], np.int64,
+                )
+                m = idx >= 0
+                out[m] += x[idx[m]] @ w[kx, ky, kz]
+    return out
+
+
+def _np_block(x, coords, index, sd, prefix):
+    """Reference ResidualBlock (spconv_unet.py:13-91): pre-norm."""
+    ib = f"{prefix}.i_branch.0.weight"
+    if ib in sd:
+        wi = np.transpose(sd[ib].numpy(), (1, 2, 3, 4, 0))[0, 0, 0]
+        identity = (x @ wi).astype(np.float32)
+    else:
+        identity = x
+    h = np.maximum(_np_bn_eval(x, sd, f"{prefix}.conv_branch.0"), 0)
+    h = _np_subm3(h, coords, index, sd[f"{prefix}.conv_branch.2.weight"])
+    h = np.maximum(_np_bn_eval(h, sd, f"{prefix}.conv_branch.3"), 0)
+    h = _np_subm3(h, coords, index, sd[f"{prefix}.conv_branch.5.weight"])
+    return h + identity
+
+
+def _np_unet(x, coords, index, sd, lvl, n_levels):
+    """Reference SpConvUNet recursion (spconv_unet.py:205-240)."""
+    u = "unet." + "u." * lvl
+    for i in range(2):
+        x = _np_block(x, coords, index, sd, f"{u}blocks.block{i}")
+    if lvl == n_levels - 1:
+        return x
+    skip = x
+    h = np.maximum(_np_bn_eval(x, sd, f"{u}conv.0"), 0)
+    # Strided k=2 s=2 down: out(p) = sum_k W[k] x(2p + k).
+    pcoords = sorted({(c[0] >> 1, c[1] >> 1, c[2] >> 1) for c in coords})
+    pindex = _np_index(pcoords)
+    wd = np.transpose(sd[f"{u}conv.2.weight"].numpy(), (1, 2, 3, 4, 0))
+    xd = np.zeros((len(pcoords), wd.shape[-1]), np.float32)
+    for i, c in enumerate(coords):
+        p = pindex[(c[0] >> 1, c[1] >> 1, c[2] >> 1)]
+        k = (c[0] & 1, c[1] & 1, c[2] & 1)
+        xd[p] += h[i] @ wd[k]
+    xu = _np_unet(xd, pcoords, pindex, sd, lvl + 1, n_levels)
+    h2 = np.maximum(_np_bn_eval(xu, sd, f"{u}deconv.0"), 0)
+    # Inverse k=2 up: out(c) = W[c & 1] x(c >> 1) (shared rulebook).
+    wu = np.transpose(sd[f"{u}deconv.2.weight"].numpy(), (1, 2, 3, 4, 0))
+    up = np.zeros((len(coords), wu.shape[-1]), np.float32)
+    for i, c in enumerate(coords):
+        p = pindex[(c[0] >> 1, c[1] >> 1, c[2] >> 1)]
+        k = (c[0] & 1, c[1] & 1, c[2] & 1)
+        up[i] = h2[p] @ wu[k]
+    x = np.concatenate([skip, up], axis=-1)
+    for i in range(2):
+        x = _np_block(x, coords, index, sd, f"{u}blocks_tail.block{i}")
+    return x
+
+
+@pytest.mark.parametrize("dataset_idx", [0, 5])  # scannet (aa), arkit (rot)
+def test_full_detector_torch_twin(dataset_idx):
+    """ENTIRE eval forward (voxelize -> input conv -> U-Net -> output BN ->
+    superpoint pool -> decoder heads) under converted reference weights ==
+    the plain numpy/torch twin of the reference semantics."""
+    from tests.test_detector import small_config, synthetic_batch, _build
+    from unidet3d_tpu.core.config import DATASETS_CLASSES
+
+    planes = (8, 16)
+    d_model, heads, hidden, layers = 32, 4, 128, 2
+    cfg = small_config(
+        num_planes=planes, d_model=d_model, num_heads=heads,
+        hidden_dim=hidden, num_layers=layers, max_points=384,
+        voxel_capacity=512, max_superpoints=40,
+        compute_dtype="float32",  # exact-parity run (production is bf16)
+    )
+    model, table = _build(cfg)
+    n_unified = len(table.unified_classes)
+    sd = _well_scaled(_make_reference_state_dict(
+        planes, d_model, heads, layers, n_unified
+    ))
+    tree = convert_torch_state_dict(
+        sd, num_levels=len(planes), num_layers=layers, d_model=d_model,
+        num_heads=heads,
+    )
+
+    from unidet3d_tpu.models.detector import PointBatch
+
+    rng0 = np.random.RandomState(9)
+    p = cfg.max_points
+    pts_np = rng0.rand(1, p, 3).astype(np.float32) * 4.0
+    valid_np = np.arange(p)[None, :] < p - 24  # padded tail exercised
+    colors_np = rng0.rand(1, p, 3).astype(np.float32) - 0.5
+    mean_np = (pts_np * valid_np[..., None]).sum(1, keepdims=True) / (
+        valid_np.sum())
+    batch = PointBatch(
+        points=jnp.asarray(pts_np),
+        vox_src=jnp.asarray(pts_np / cfg.voxel_size),
+        features=jnp.asarray(
+            np.concatenate([colors_np, pts_np - mean_np], -1)
+        ),
+        valid=jnp.asarray(valid_np),
+        sp_ids=jnp.asarray(
+            rng0.randint(0, cfg.max_superpoints - 5, size=(1, p)), np.int32
+        ),
+        dataset_ids=jnp.asarray([dataset_idx], np.int32),
+    )
+    out, aux = model.apply(
+        {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+        batch, False,
+    )
+
+    # ---- twin, numpy end to end.
+    pts = np.asarray(batch.points[0])
+    vsrc = np.asarray(batch.vox_src[0])
+    valid = np.asarray(batch.valid[0])
+    feats = np.asarray(batch.features[0])
+    sp_ids = np.asarray(batch.sp_ids[0])
+    s = cfg.max_superpoints
+
+    shifted = vsrc - vsrc[valid].min(0)
+    ic = np.floor(shifted).astype(np.int64)
+    # Voxelize: average dedup over valid points (ME TensorField semantics).
+    coord_list = sorted({tuple(c) for c, v in zip(ic, valid) if v})
+    index = _np_index(coord_list)
+    vox_feats = np.zeros((len(coord_list), feats.shape[-1]), np.float32)
+    cnt = np.zeros(len(coord_list), np.float32)
+    pinv = np.full(len(pts), -1, np.int64)
+    for i in range(len(pts)):
+        if not valid[i]:
+            continue
+        j = index[tuple(ic[i])]
+        pinv[i] = j
+        vox_feats[j] += feats[i]
+        cnt[j] += 1
+    vox_feats /= cnt[:, None]
+
+    x = _np_subm3(vox_feats, coord_list, index, sd["input_conv.0.weight"])
+    x = _np_unet(x, coord_list, index, sd, 0, len(planes))
+    x = np.maximum(_np_bn_eval(x, sd, "output_layer.0"), 0)
+
+    point_feats = x[pinv]
+    sp_feats = np.zeros((s, planes[0]), np.float32)
+    sp_centers = np.zeros((s, 3), np.float32)
+    sp_cnt = np.zeros(s, np.float32)
+    for i in range(len(pts)):
+        if valid[i]:
+            sp_feats[sp_ids[i]] += point_feats[i]
+            sp_centers[sp_ids[i]] += pts[i]  # eval: RAW frame (ref :446-447)
+            sp_cnt[sp_ids[i]] += 1
+    sp_valid = sp_cnt > 0
+    sp_feats[sp_valid] /= sp_cnt[sp_valid, None]
+    sp_centers[sp_valid] /= sp_cnt[sp_valid, None]
+
+    np.testing.assert_array_equal(np.asarray(aux.sp_valid[0]), sp_valid)
+    np.testing.assert_allclose(
+        np.asarray(aux.sp_centers[0])[sp_valid],
+        sp_centers[sp_valid], rtol=1e-4, atol=1e-4,
+    )
+
+    twin = _TorchDecoderTwin(
+        planes[0], d_model, heads, hidden, layers, n_unified
+    )
+    twin.load_reference_keys(sd)
+    twin.eval()
+    gather_row = np.asarray(table.gather)[dataset_idx]
+    n_cls = int((gather_row >= 0).sum()) - 1
+    cls_idxs = torch.tensor(
+        list(gather_row[:n_cls]) + [n_unified - 1], dtype=torch.long
+    )
+    with torch.no_grad():
+        ref_outs = twin(
+            torch.from_numpy(sp_feats[sp_valid]),
+            torch.from_numpy(sp_centers[sp_valid]),
+            cls_idxs, dataset_idx == 5,
+        )
+
+    ref_cls, ref_box = ref_outs[-1]
+    ours_cls = np.asarray(out.cls_logits[-1, 0])[sp_valid]
+    got = np.concatenate([ours_cls[:, :n_cls], ours_cls[:, -1:]], axis=1)
+    # fp32 conv/attention chains through the whole model: ~1e-3 abs.
+    np.testing.assert_allclose(
+        got, ref_cls.numpy(), rtol=5e-3, atol=5e-3
+    )
+    ours_box = np.asarray(out.boxes[-1, 0])[sp_valid]
+    nb = ref_box.shape[1]
+    np.testing.assert_allclose(
+        ours_box[:, :nb], ref_box.numpy(), rtol=5e-3, atol=5e-3
+    )
+
+
 def test_voxelize_me_average_dedup_and_min_shift():
     """Level-0 voxelization == ME TensorField average-dedup semantics with
     the reference min-shift (unidet3d.py:157-176): floor(coords - min),

@@ -259,18 +259,23 @@ void unidet3d_build_banded(
         int64_t soff = ((smn == kInt32Max) ? 0 : smn) - base;
         soff -= ((soff % align) + align) % align;
         soff = std::clamp<int64_t>(soff, 0, lim);
-        sub_offs[(kb * n_sub + sg) * 27 + o] = static_cast<int32_t>(soff);
         const int64_t shift = base + soff;
+        bool any_in_band = false;
         for (int64_t r = sg * sub_rows; r < (sg + 1) * sub_rows; ++r) {
           const int64_t row = kb * block + r;
           int32_t idx = nb_ptr[r * 27 + o];
           bool val = idx < capacity;
           int64_t rv = idx - shift;
           bool in_band = val && rv >= 0 && rv < ws;
+          any_in_band |= in_band;
           rel[o * v + row] = in_band ? static_cast<int32_t>(rv) : -1;
           if (val && !in_band)
             block_miss[kb].push_back((static_cast<int64_t>(o) << 40) | row);
         }
+        // -16 sentinel: no in-band entry -> kernel skips the subgroup
+        // (and the whole window DMA when every subgroup is empty).
+        sub_offs[(kb * n_sub + sg) * 27 + o] =
+            any_in_band ? static_cast<int32_t>(soff) : -16;
       }
     }
     active[kb] = any_valid;

@@ -38,6 +38,14 @@ def _load():
     _tried = True
     try:
         if not os.path.exists(_LIB):
+            # Source changed -> new hash; stale hashed binaries are dead
+            # weight (gitignored but they accumulate on long-lived hosts).
+            for f in os.listdir(_DIR):
+                if f.startswith("libunidet3d_rulebook.") and f.endswith(".so"):
+                    try:
+                        os.remove(os.path.join(_DIR, f))
+                    except OSError:
+                        pass
             subprocess.run(
                 [
                     "g++", "-O3", "-march=native", "-shared", "-fPIC",

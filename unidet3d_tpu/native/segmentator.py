@@ -37,6 +37,14 @@ def _load():
     _tried = True
     try:
         if not os.path.exists(_LIB):
+            # Prune stale hashed binaries from earlier source revisions.
+            for f in os.listdir(_DIR):
+                if (f.startswith("libunidet3d_segmentator.")
+                        and f.endswith(".so")):
+                    try:
+                        os.remove(os.path.join(_DIR, f))
+                    except OSError:
+                        pass
             subprocess.run(
                 [
                     "g++", "-O3", "-shared", "-fPIC", "-std=c++17",

@@ -53,7 +53,11 @@ class BandedRulebook(NamedTuple):
 
     bases: (nB, K) int32 window base row per (block, offset), 16-aligned.
     sub_offs: (nB, nS, K) int32 subgroup start WITHIN the window, 16-aligned,
-        in [0, window - wsub].
+        in [0, window - wsub]; -16 SENTINEL when the (block, subgroup,
+        offset) has no in-band entry at all — the kernel skips that
+        subgroup's gather entirely (all its rel are -1, the result is an
+        exact zero), and an offset whose every subgroup is -16 skips its
+        window DMA too. Real scenes leave many x-offset subgroups empty.
     rel: (K, V) int32 subgroup-relative index in [0, wsub), -1 = none.
     active: (nB,) int32 1 where the block has ANY valid neighbor entry.
         Fully-padded blocks (voxel capacity is a static worst case; real
@@ -139,6 +143,8 @@ def build_banded_rulebook(
         rel < wsubs[None, None, None, :]
     )
     rel = np.where(in_band, rel, -1).astype(np.int32)
+    # Subgroup-granular predication sentinel (see BandedRulebook.sub_offs).
+    sub_offs = np.where(in_band.any(axis=2), sub_offs, -16).astype(np.int32)
     miss = valid.reshape(nb, ns, sub_rows, k) & ~in_band
     miss_idx = np.where(
         miss, idx.reshape(nb, ns, sub_rows, k), capacity
@@ -230,60 +236,87 @@ def _make_kernel(n_off: int, wp: tuple, wsp: tuple, n_sub: int,
         def _():
             out_ref[0] = jnp.zeros_like(out_ref[0])
 
+        def soff(o, sg):
+            return sub_offs_ref[(kb * n_sub + sg) * n_off + o]
+
+        def offset_active(o):
+            # Negative sub_offs = empty-subgroup sentinel; an offset with
+            # every subgroup empty contributes exact zeros -> skip its DMA.
+            acc = soff(o, 0) >= 0
+            for sg in range(1, n_sub):
+                acc = jnp.logical_or(acc, soff(o, sg) >= 0)
+            return acc
+
         @pl.when(active_ref[kb] != 0)
         def _():
             for o in range(n_off):
-                dma(o).start()
+                @pl.when(offset_active(o))
+                def _(o=o):
+                    dma(o).start()
             if not fuse:
                 stage[...] = jnp.zeros_like(stage)
             for o in range(n_off):
-                dma(o).wait()
+                @pl.when(offset_active(o))
+                def _(o=o):
+                    dma(o).wait()
                 rel = rels[o][0]  # (sub, LANE) int32
                 sub = rel.shape[0]
                 rows = sub // n_sub  # sublane rows per subgroup
                 for sg in range(n_sub):
-                    off = pl.multiple_of(
-                        sub_offs_ref[(kb * n_sub + sg) * n_off + o], 16
-                    )
-                    wslice = wins[o][pl.ds(off, wsp[o]), :].astype(dtype)
-                    rel_sg = rel[sg * rows : (sg + 1) * rows]  # (rows, LANE)
-                    if pack == 1:
-                        prel = rel_sg
-                    else:
-                        # floor-div would map -1 (no match) to 0 under lax
-                        # truncation; force the sentinel through.
-                        prel = jnp.where(rel_sg < 0, -1, rel_sg // pack)
-                    iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (*rel_sg.shape, wsp[o]), 2
-                    )
-                    onehot = (prel[:, :, None] == iota).astype(dtype)
-                    # (rows, LANE, Wsub/p) x (Wsub/p, lane_w)
-                    g = jax.lax.dot_general(
-                        onehot,
-                        wslice,
-                        dimension_numbers=(((2,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    if pack > 1:
-                        # Keep only the channel slice j = rel mod p; the
-                        # other p-1 slices belong to neighboring voxel rows.
-                        j = rel_sg - prel * pack  # (rows, LANE)
-                        lane = jax.lax.broadcasted_iota(
-                            jnp.int32, (*rel_sg.shape, lane_w), 2
-                        ) // c_slice
-                        g = jnp.where(lane == j[:, :, None], g, 0.0)
                     lo = sg * rows
+                    s = soff(o, sg)
                     if fuse:
-                        stage[lo : lo + rows, :, o * lane_w : (o + 1) * lane_w] = (
-                            g.astype(dtype)
+                        # Skipped slices must still read as zeros in the
+                        # block-wide output matmul.
+                        @pl.when(s < 0)
+                        def _(o=o, lo=lo, rows=rows):
+                            stage[
+                                lo : lo + rows, :,
+                                o * lane_w : (o + 1) * lane_w,
+                            ] = jnp.zeros((rows, _LANE, lane_w), dtype)
+
+                    @pl.when(s >= 0)
+                    def _(o=o, sg=sg, lo=lo, rows=rows, rel=rel, s=s):
+                        off = pl.multiple_of(s, 16)
+                        wslice = wins[o][pl.ds(off, wsp[o]), :].astype(dtype)
+                        rel_sg = rel[sg * rows : (sg + 1) * rows]
+                        if pack == 1:
+                            prel = rel_sg
+                        else:
+                            # floor-div would map -1 (no match) to 0 under
+                            # lax truncation; force the sentinel through.
+                            prel = jnp.where(rel_sg < 0, -1, rel_sg // pack)
+                        iota = jax.lax.broadcasted_iota(
+                            jnp.int32, (*rel_sg.shape, wsp[o]), 2
                         )
-                    else:
-                        stage[lo : lo + rows] += jax.lax.dot_general(
-                            g.astype(dtype),
-                            w_ref[o].astype(dtype),
+                        onehot = (prel[:, :, None] == iota).astype(dtype)
+                        # (rows, LANE, Wsub/p) x (Wsub/p, lane_w)
+                        g = jax.lax.dot_general(
+                            onehot,
+                            wslice,
                             dimension_numbers=(((2,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
+                        if pack > 1:
+                            # Keep only the channel slice j = rel mod p; the
+                            # others belong to neighboring voxel rows.
+                            j = rel_sg - prel * pack  # (rows, LANE)
+                            lane = jax.lax.broadcasted_iota(
+                                jnp.int32, (*rel_sg.shape, lane_w), 2
+                            ) // c_slice
+                            g = jnp.where(lane == j[:, :, None], g, 0.0)
+                        if fuse:
+                            stage[
+                                lo : lo + rows, :,
+                                o * lane_w : (o + 1) * lane_w,
+                            ] = g.astype(dtype)
+                        else:
+                            stage[lo : lo + rows] += jax.lax.dot_general(
+                                g.astype(dtype),
+                                w_ref[o].astype(dtype),
+                                dimension_numbers=(((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
             if fuse:
                 # One long matmul: (sub, LANE, K*128) x (K*128, Cout).
                 out_ref[0] = jax.lax.dot_general(
@@ -503,64 +536,91 @@ def _make_dw_burst_kernel(n_off: int, wp: tuple, wsp: tuple,
         def _():
             dw_ref[...] = jnp.zeros_like(dw_ref)
 
+        def soff(o, sg):
+            return sub_offs_ref[(kb * n_sub + sg) * n_off + o]
+
+        def offset_active(o):
+            acc = soff(o, 0) >= 0
+            for sg in range(1, n_sub):
+                acc = jnp.logical_or(acc, soff(o, sg) >= 0)
+            return acc
+
         # Fully-padded blocks contribute exact zeros — skip entirely.
         @pl.when(active_ref[kb] != 0)
         def _():
             for o in range(n_off):
-                dma(o).start()
+                @pl.when(offset_active(o))
+                def _(o=o):
+                    dma(o).start()
             g = g_ref[0]  # (sub, LANE, Cout): LANE voxels on sublanes
             sub = g.shape[0]
             rows = sub // n_sub  # sublane rows per subgroup
             for o in range(n_off):
-                dma(o).wait()
+                @pl.when(offset_active(o))
+                def _(o=o):
+                    dma(o).wait()
                 rel = rels[o][0]  # (sub, LANE) int32
                 for sg in range(n_sub):
-                    off = pl.multiple_of(
-                        sub_offs_ref[(kb * n_sub + sg) * n_off + o], 16
-                    )
-                    wslice = wins[o][pl.ds(off, wsp[o]), :].astype(dtype)
-                    rel_sg = rel[sg * rows : (sg + 1) * rows]  # (rows, LANE)
-                    if pack == 1:
-                        prel = rel_sg
-                    else:
-                        prel = jnp.where(rel_sg < 0, -1, rel_sg // pack)
-                    iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (*rel_sg.shape, wsp[o]), 2
-                    )
-                    # (rows, LANE, Wsub), voxels on the (rows x LANE)
-                    # leading dims; collapse them so the contraction over
-                    # voxels is ONE full-depth single-contraction matmul
-                    # (per-sublane-row matmuls are only 64 deep).
-                    onehot = (prel[:, :, None] == iota).astype(dtype)
-                    nvox = rel_sg.shape[0] * rel_sg.shape[1]
-                    onehot2 = onehot.reshape(nvox, wsp[o])
-                    # A = gathered features (the SAME matmul as the fwd).
-                    a = jax.lax.dot_general(
-                        onehot2,
-                        wslice,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # (nvox, lane_w)
-                    if pack > 1:
-                        j = rel_sg.reshape(nvox)  # channel-slice selector
-                        j = j - (prel.reshape(nvox) * pack)
-                        lane = jax.lax.broadcasted_iota(
-                            jnp.int32, (nvox, lane_w), 1
-                        ) // c_slice
-                        a = jnp.where(lane == j[:, None], a, 0.0)
+                    nvox = rows * _LANE
                     lo = sg * nvox
+                    s = soff(o, sg)
                     if fuse:
-                        g_all[lo : lo + nvox,
-                              o * lane_w : (o + 1) * lane_w] = a.astype(dtype)
-                    else:
-                        g_sg = g[sg * rows : (sg + 1) * rows]
-                        g2 = g_sg.astype(dtype).reshape(nvox, g.shape[-1])
-                        dw_ref[o] += jax.lax.dot_general(
-                            a.astype(dtype),
-                            g2,
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
+                        @pl.when(s < 0)
+                        def _(o=o, lo=lo, nvox=nvox):
+                            g_all[lo : lo + nvox,
+                                  o * lane_w : (o + 1) * lane_w] = (
+                                jnp.zeros((nvox, lane_w), dtype)
+                            )
+
+                    @pl.when(s >= 0)
+                    def _(o=o, sg=sg, lo=lo, nvox=nvox, rel=rel, s=s,
+                          rows=rows, g=g):
+                        off = pl.multiple_of(s, 16)
+                        wslice = wins[o][pl.ds(off, wsp[o]), :].astype(dtype)
+                        rel_sg = rel[sg * rows : (sg + 1) * rows]
+                        if pack == 1:
+                            prel = rel_sg
+                        else:
+                            prel = jnp.where(rel_sg < 0, -1, rel_sg // pack)
+                        iota = jax.lax.broadcasted_iota(
+                            jnp.int32, (*rel_sg.shape, wsp[o]), 2
                         )
+                        # (rows, LANE, Wsub), voxels on the (rows x LANE)
+                        # leading dims; collapse them so the contraction
+                        # over voxels is ONE full-depth single-contraction
+                        # matmul (per-sublane-row matmuls are only 64 deep).
+                        onehot = (prel[:, :, None] == iota).astype(dtype)
+                        onehot2 = onehot.reshape(nvox, wsp[o])
+                        # A = gathered features (the SAME matmul as fwd).
+                        a = jax.lax.dot_general(
+                            onehot2,
+                            wslice,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (nvox, lane_w)
+                        if pack > 1:
+                            j = rel_sg.reshape(nvox)  # channel-slice sel
+                            j = j - (prel.reshape(nvox) * pack)
+                            lane = jax.lax.broadcasted_iota(
+                                jnp.int32, (nvox, lane_w), 1
+                            ) // c_slice
+                            a = jnp.where(lane == j[:, None], a, 0.0)
+                        if fuse:
+                            g_all[lo : lo + nvox,
+                                  o * lane_w : (o + 1) * lane_w] = (
+                                a.astype(dtype)
+                            )
+                        else:
+                            g_sg = g[sg * rows : (sg + 1) * rows]
+                            g2 = g_sg.astype(dtype).reshape(
+                                nvox, g.shape[-1]
+                            )
+                            dw_ref[o] += jax.lax.dot_general(
+                                a.astype(dtype),
+                                g2,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
             if fuse:
                 # ONE voxel contraction for all offsets:
                 # (block, K*lane)^T x (block, Cout).
