@@ -121,10 +121,10 @@ def main():
             ws27 = np.asarray(wsubs, np.int64)
             (bs, so, rl, ac, mr_, mn_, mo_, total) = native_rb.build_banded(
                 nbr, cap, 512, w27, ws27, n_subgroups(512),
-                cfg.conv_miss_cap, align=align,
+                2 * cfg.conv_miss_cap, align=align,
             )
-            ml = MissList(rows=jnp.asarray(mr_), nbrs=jnp.asarray(mn_),
-                          offs=jnp.asarray(mo_))
+            two = lambda a: jnp.asarray(a.reshape(2, cfg.conv_miss_cap))
+            ml = MissList(rows=two(mr_), nbrs=two(mn_), offs=two(mo_))
             for fuse in (False, True):
                 def bare(f, wt, bs=jnp.asarray(bs), so=jnp.asarray(so),
                          rl=jnp.asarray(rl), ac=jnp.asarray(ac), fuse=fuse,

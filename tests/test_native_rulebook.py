@@ -95,10 +95,15 @@ def test_native_banded_bit_exact():
                 align=align,
             )
             ml = build_miss_list(rb.miss_idx, cap, miss_cap=4096)
+            # gridpack calls the native builder with 2*cap and reshapes
+            # into the two-tier (2, cap) spill form — mirror that here.
             (bs, so, rl, ac, rows, nbrs, offs, total) = native.build_banded(
-                nbr, cap, block, windows, wsubs, n_subgroups(block), 4096,
+                nbr, cap, block, windows, wsubs, n_subgroups(block), 8192,
                 align=align,
             )
+            rows = rows.reshape(2, 4096)
+            nbrs = nbrs.reshape(2, 4096)
+            offs = offs.reshape(2, 4096)
             np.testing.assert_array_equal(bs, rb.bases)
             np.testing.assert_array_equal(so, rb.sub_offs)
             np.testing.assert_array_equal(rl, rb.rel)

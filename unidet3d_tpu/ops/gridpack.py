@@ -237,8 +237,9 @@ class BandedPack(NamedTuple):
     ops/pallas_conv.py). All leaves are arrays (pytree-safe):
     bases[l]: (nB_l, 27); sub_offs[l]: (nB_l, nS, 27); rel[l]: (27, V_l);
     active[l]: (nB_l,) block-has-any-valid-neighbor flags (kernel skips
-    fully-padded blocks); miss_rows/miss_nbrs/miss_offs[l]: (M,) compact
-    out-of-band lists."""
+    fully-padded blocks); miss_rows/miss_nbrs/miss_offs[l]: (2, M) compact
+    out-of-band lists — tier 0 always applied, tier 1 a lax.cond spill
+    (ops/pallas_conv.py MissList)."""
 
     bases: tuple
     sub_offs: tuple
@@ -298,17 +299,20 @@ def build_banded_pack(
                 if wsubs[lvl] is None
                 else np.broadcast_to(np.asarray(wsubs[lvl], np.int64), (27,))
             )
+            # Collect up to 2*cap entries; Python reshapes into the
+            # two-tier (2, cap) transport form (tier 1 = lax.cond spill).
             (bs, so, rl, ac, rows, nbrs, offs, total) = native_rb.build_banded(
-                nbr, cap, b, w27, ws27, n_subgroups(b), miss_cap, align=al
+                nbr, cap, b, w27, ws27, n_subgroups(b), 2 * miss_cap,
+                align=al,
             )
             warn_miss_overflow(total, miss_cap)
             bases.append(bs)
             soffs.append(so)
             rel.append(rl)
             act.append(ac)
-            mr.append(rows)
-            mn.append(nbrs)
-            mo.append(offs)
+            mr.append(rows.reshape(2, miss_cap))
+            mn.append(nbrs.reshape(2, miss_cap))
+            mo.append(offs.reshape(2, miss_cap))
             continue
         rb = build_banded_rulebook(
             nbr, cap, block=b, window=windows[lvl], wsub=wsubs[lvl], align=al
