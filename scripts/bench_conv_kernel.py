@@ -62,6 +62,14 @@ def main():
     ap.add_argument("--cin", type=int, nargs="+", default=[32, 64])
     ap.add_argument("--cout", type=int, default=32)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--pred", type=int, nargs="+", default=[0, 1],
+                    help="predication variants to sweep (0/1)")
+    ap.add_argument("--fuse", type=int, nargs="+", default=[0, 1])
+    ap.add_argument("--aligns", type=int, nargs="+", default=[16, 32, 64])
+    ap.add_argument("--wsub", type=int, default=None,
+                    help="override y/z/center subgroup onehot width")
+    ap.add_argument("--wsub-x", type=int, default=None,
+                    help="override x subgroup onehot width")
     args = ap.parse_args()
 
     from unidet3d_tpu.core.config import ModelConfig
@@ -92,6 +100,12 @@ def main():
 
     windows = cfg.level_conv_windows()[0]
     wsubs = cfg.level_conv_subwindows()[0]
+    if args.wsub or args.wsub_x:
+        wy = args.wsub or wsubs[9]
+        wx = args.wsub_x or wsubs[0]
+        wsubs = tuple(
+            min(wx if (o // 9 != 1) else wy, windows[o]) for o in range(27)
+        )
     interp = jax.default_backend() != "tpu"
     print(f"windows y/x: {windows[9]}/{windows[0]}  wsubs: {wsubs[9]}/{wsubs[0]}"
           f"  backend={jax.default_backend()}")
@@ -113,7 +127,7 @@ def main():
             np.float32,
         )
         print(f"\ncin={cin}: XLA gather form {t_ref*1e3:7.2f} ms/conv")
-        for align in (16, 32, 64):
+        for align in args.aligns:
             p = choose_pack(cin, windows, wsubs, align // 16)
             if align > 16 and p == 1:
                 continue
@@ -125,14 +139,15 @@ def main():
             )
             two = lambda a: jnp.asarray(a.reshape(2, cfg.conv_miss_cap))
             ml = MissList(rows=two(mr_), nbrs=two(mn_), offs=two(mo_))
-            for fuse in (False, True):
+            for fuse in [bool(f) for f in args.fuse]:
+              for pred in [bool(x) for x in args.pred]:
                 def bare(f, wt, bs=jnp.asarray(bs), so=jnp.asarray(so),
                          rl=jnp.asarray(rl), ac=jnp.asarray(ac), fuse=fuse,
-                         align=align):
+                         align=align, pred=pred):
                     return subm_conv_pallas(
                         f, bs, rl, wt, window=windows, wsub=wsubs,
                         sub_offs=so, active=ac, interpret=interp,
-                        pack_limit=align // 16, fuse=fuse,
+                        pack_limit=align // 16, fuse=fuse, pred=pred,
                     )
 
                 def run(f, wt, bare=bare):
@@ -143,11 +158,13 @@ def main():
                     t_miss = timed_chained(run, feat, w)
                     out = jax.jit(run)(feat, w)  # parity check
                 except Exception as e:
-                    print(f"  align={align} pack={p} fuse={fuse}: FAIL "
+                    print(f"  align={align} pack={p} fuse={fuse} "
+                          f"pred={int(pred)}: FAIL "
                           f"{type(e).__name__}: {str(e)[:200]}", flush=True)
                     continue
                 err = np.abs(np.asarray(out, np.float32) - ref).max()
-                print(f"  align={align} pack={p} fuse={int(fuse)}: "
+                print(f"  align={align} pack={p} fuse={int(fuse)} "
+                      f"pred={int(pred)}: "
                       f"bare {t_bare*1e3:7.2f}  +miss {t_miss*1e3:7.2f} "
                       f"ms/conv  maxerr={err:.4f}  miss={total}", flush=True)
 

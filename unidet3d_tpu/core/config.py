@@ -136,19 +136,19 @@ class ModelConfig:
         return tuple(out)
 
     def level_pack_align(self) -> Tuple[int, ...]:
-        """Per-level rulebook base/sub_offs alignment = 16 * (the channel-
-        packing factor of that level's residual-block convs). The packed
-        pallas kernel (ops/pallas_conv.py choose_pack) views features as
-        (V/p, 128) — p channel-slices per 128-lane tile — and slices the
-        window in packed rows, so host offsets must be 16*p-aligned.
-        num_planes <= 32 packs 4x, <= 64 packs 2x; wider levels (and the
-        2x-wide tail-concat convs, which derive their own smaller p from
-        their input width) keep plain 16."""
-        out = []
-        for c in self.num_planes:
-            p = 4 if c <= 32 else (2 if c <= 64 else 1)
-            out.append(16 * p)
-        return tuple(out)
+        """Per-level rulebook base/sub_offs alignment = 16 * (the max
+        channel-packing factor the host offsets permit at that level).
+
+        MEASURED (scripts/bench_conv_kernel.py, v5 lite, 131k 91%-full
+        scene): channel packing LOSES to the unpacked fused-output form at
+        both narrow levels — C=32: pack4 4.82 vs pack1+fuse 3.91 ms; C=64:
+        pack2 4.76 vs pack1+fuse 4.13 ms. The packed form's lane-mask VPU
+        pass and tiled second matmul cost more than the dead-lane DMA it
+        saves, and the coarser 16*p alignment forces wider subwindows
+        (256/448 vs 192/384). So alignment stays 16 (pack=1) everywhere;
+        the packed kernel remains available for A/B via the bench script's
+        --aligns flag."""
+        return tuple(16 for _ in self.num_planes)
 
     def level_conv_subwindows(self) -> Tuple[Tuple[int, ...], ...]:
         """Per-level (27,) subgroup onehot widths, each clamped to that

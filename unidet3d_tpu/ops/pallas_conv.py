@@ -178,7 +178,8 @@ def choose_pack(c: int, windows, wsubs, limit: int) -> int:
 
 
 def _make_kernel(n_off: int, wp: tuple, wsp: tuple, n_sub: int,
-                 dtype, pack: int, c_slice: int, fuse: bool):
+                 dtype, pack: int, c_slice: int, fuse: bool,
+                 pred: bool = True):
     """Burst-mode TWO-LEVEL kernel: all K window DMAs for a block launch at
     once (one buffer + semaphore per offset), then the compute loop drains
     them. Per offset the block's rows are processed in `n_sub` subgroups of
@@ -250,14 +251,20 @@ def _make_kernel(n_off: int, wp: tuple, wsp: tuple, n_sub: int,
         @pl.when(active_ref[kb] != 0)
         def _():
             for o in range(n_off):
-                @pl.when(offset_active(o))
-                def _(o=o):
+                if pred:
+                    @pl.when(offset_active(o))
+                    def _(o=o):
+                        dma(o).start()
+                else:
                     dma(o).start()
             if not fuse:
                 stage[...] = jnp.zeros_like(stage)
             for o in range(n_off):
-                @pl.when(offset_active(o))
-                def _(o=o):
+                if pred:
+                    @pl.when(offset_active(o))
+                    def _(o=o):
+                        dma(o).wait()
+                else:
                     dma(o).wait()
                 rel = rels[o][0]  # (sub, LANE) int32
                 sub = rel.shape[0]
@@ -265,7 +272,7 @@ def _make_kernel(n_off: int, wp: tuple, wsp: tuple, n_sub: int,
                 for sg in range(n_sub):
                     lo = sg * rows
                     s = soff(o, sg)
-                    if fuse:
+                    if pred and fuse:
                         # Skipped slices must still read as zeros in the
                         # block-wide output matmul.
                         @pl.when(s < 0)
@@ -275,8 +282,7 @@ def _make_kernel(n_off: int, wp: tuple, wsp: tuple, n_sub: int,
                                 o * lane_w : (o + 1) * lane_w,
                             ] = jnp.zeros((rows, _LANE, lane_w), dtype)
 
-                    @pl.when(s >= 0)
-                    def _(o=o, sg=sg, lo=lo, rows=rows, rel=rel, s=s):
+                    def _body(o=o, sg=sg, lo=lo, rows=rows, rel=rel, s=s):
                         off = pl.multiple_of(s, 16)
                         wslice = wins[o][pl.ds(off, wsp[o]), :].astype(dtype)
                         rel_sg = rel[sg * rows : (sg + 1) * rows]
@@ -317,6 +323,11 @@ def _make_kernel(n_off: int, wp: tuple, wsp: tuple, n_sub: int,
                                 dimension_numbers=(((2,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                             )
+
+                    if pred:
+                        pl.when(s >= 0)(_body)
+                    else:
+                        _body()
             if fuse:
                 # One long matmul: (sub, LANE, K*128) x (K*128, Cout).
                 out_ref[0] = jax.lax.dot_general(
@@ -371,6 +382,7 @@ def subm_conv_pallas(
     interpret: bool = False,
     pack_limit: int = 1,
     fuse: bool | None = None,
+    pred: bool = False,
 ) -> jnp.ndarray:
     """Fused two-level banded subm conv. Returns (V, Cout) fp32.
 
@@ -387,7 +399,15 @@ def subm_conv_pallas(
     permits (ModelConfig.level_pack_align // 16); the effective pack also
     requires c <= 128/p and divisible widths (choose_pack). `fuse` (None =
     auto) stages gathers in VMEM and runs one long output matmul per block
-    — see _make_kernel."""
+    — see _make_kernel.
+
+    `pred`: offset/subgroup-granular predication (skip DMAs and matmuls of
+    empty (block, offset) / (block, subgroup, offset) slots). Measured on a
+    91%-full 131k scene it COSTS ~75% (4.10 -> 7.32 ms fused: Mosaic
+    serialises around the per-offset pl.when regions), so it defaults OFF;
+    block-level `active` predication — the round-2 win that scales with
+    bucket padding — is always on. Keep the flag for A/B on sparser
+    distributions (scripts/bench_conv_kernel.py --pred)."""
     v, c = features.shape
     k = weights.shape[0]
     windows = tuple(
@@ -410,6 +430,11 @@ def subm_conv_pallas(
         wsubs = windows
     if active is None:
         active = jnp.ones((nb,), jnp.int32)
+    if not pred:
+        # Without subgroup predication the -16 empty-subgroup sentinels
+        # must not reach pl.ds (their rel are all -1, any in-range offset
+        # is correct).
+        sub_offs = jnp.maximum(sub_offs, 0)
     cout = weights.shape[-1]
     pack = choose_pack(c, windows, wsubs, pack_limit)
     # Kernel matmul dtype follows the features dtype: bf16 in production,
@@ -460,7 +485,7 @@ def subm_conv_pallas(
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(k, wp, wsp, ns, kdtype, pack, c_slice, fuse),
+        _make_kernel(k, wp, wsp, ns, kdtype, pack, c_slice, fuse, pred),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, sub, _LANE, cout), jnp.float32),
         interpret=interpret,
@@ -489,7 +514,7 @@ def subm_conv_pallas(
 
 def _make_dw_burst_kernel(n_off: int, wp: tuple, wsp: tuple,
                           n_sub: int, dtype, pack: int, c_slice: int,
-                          fuse: bool):
+                          fuse: bool, pred: bool = True):
     """Weight-gradient kernel, BURST form mirroring the forward: grid (nB,),
     all K window DMAs for a block in flight at once (per-offset STATIC
     widths), the block's g read once, and dW accumulated in VMEM across the
@@ -549,22 +574,28 @@ def _make_dw_burst_kernel(n_off: int, wp: tuple, wsp: tuple,
         @pl.when(active_ref[kb] != 0)
         def _():
             for o in range(n_off):
-                @pl.when(offset_active(o))
-                def _(o=o):
+                if pred:
+                    @pl.when(offset_active(o))
+                    def _(o=o):
+                        dma(o).start()
+                else:
                     dma(o).start()
             g = g_ref[0]  # (sub, LANE, Cout): LANE voxels on sublanes
             sub = g.shape[0]
             rows = sub // n_sub  # sublane rows per subgroup
             for o in range(n_off):
-                @pl.when(offset_active(o))
-                def _(o=o):
+                if pred:
+                    @pl.when(offset_active(o))
+                    def _(o=o):
+                        dma(o).wait()
+                else:
                     dma(o).wait()
                 rel = rels[o][0]  # (sub, LANE) int32
                 for sg in range(n_sub):
                     nvox = rows * _LANE
                     lo = sg * nvox
                     s = soff(o, sg)
-                    if fuse:
+                    if pred and fuse:
                         @pl.when(s < 0)
                         def _(o=o, lo=lo, nvox=nvox):
                             g_all[lo : lo + nvox,
@@ -572,9 +603,8 @@ def _make_dw_burst_kernel(n_off: int, wp: tuple, wsp: tuple,
                                 jnp.zeros((nvox, lane_w), dtype)
                             )
 
-                    @pl.when(s >= 0)
-                    def _(o=o, sg=sg, lo=lo, nvox=nvox, rel=rel, s=s,
-                          rows=rows, g=g):
+                    def _body(o=o, sg=sg, lo=lo, nvox=nvox, rel=rel, s=s,
+                              rows=rows, g=g):
                         off = pl.multiple_of(s, 16)
                         wslice = wins[o][pl.ds(off, wsp[o]), :].astype(dtype)
                         rel_sg = rel[sg * rows : (sg + 1) * rows]
@@ -621,6 +651,11 @@ def _make_dw_burst_kernel(n_off: int, wp: tuple, wsp: tuple,
                                 dimension_numbers=(((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                             )
+
+                    if pred:
+                        pl.when(s >= 0)(_body)
+                    else:
+                        _body()
             if fuse:
                 # ONE voxel contraction for all offsets:
                 # (block, K*lane)^T x (block, Cout).
@@ -650,6 +685,7 @@ def subm_conv_dw_pallas(
     interpret: bool = False,
     pack_limit: int = 1,
     fuse: bool | None = None,
+    pred: bool = False,
 ) -> jnp.ndarray:
     """Banded weight gradient: dW[o] = sum_i feat[nbr(i,o)]^T grad[i].
     Returns (K, C, Cout) fp32 (un-padded). Burst form: see
@@ -677,6 +713,8 @@ def subm_conv_dw_pallas(
         wsubs = windows
     if active is None:
         active = jnp.ones((nb,), jnp.int32)
+    if not pred:
+        sub_offs = jnp.maximum(sub_offs, 0)  # see subm_conv_pallas
     sub = block // _LANE
     pack = choose_pack(c, windows, wsubs, pack_limit)
     kdtype = (
@@ -727,7 +765,8 @@ def subm_conv_dw_pallas(
         ],
     )
     dw = pl.pallas_call(
-        _make_dw_burst_kernel(k, wp, wsp, ns, kdtype, pack, c_slice, fuse),
+        _make_dw_burst_kernel(k, wp, wsp, ns, kdtype, pack, c_slice, fuse,
+                              pred),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(dw_shape, jnp.float32),
         interpret=interpret,
@@ -809,22 +848,31 @@ def build_miss_list(
     )
 
 
+def _offset_expand(x, offs, k):
+    """(M, C) rows -> (M, K*C) with row m placed in block offs[m], zeros
+    elsewhere: one VPU broadcast-compare + multiply. Lets the per-offset
+    weight selection ride a SINGLE MXU matmul against the (K*C, ...) stacked
+    weights instead of K masked matmuls (issue latency dominated the old
+    form — same FLOPs, 27x fewer instructions)."""
+    m, c = x.shape
+    onehot = (offs[:, None] == jnp.arange(k, dtype=offs.dtype)[None, :])
+    expanded = onehot[:, :, None].astype(x.dtype) * x[:, None, :]
+    return expanded.reshape(m, k * c)
+
+
 def _miss_tier_contrib(features, weights, rows, nbrs, offs):
     """(M,) one-tier correction: contrib[m] = feat[nbrs[m]] @ W[offs[m]].
 
-    Per-offset masked matmuls — gathering W[offs] would materialise an
-    (M, C, Cout) tensor per conv, which dwarfs the correction itself."""
+    Offset-expanded single matmul — gathering W[offs] per entry would
+    materialise an (M, C, Cout) tensor, which dwarfs the correction; the
+    (M, K*C) expansion is a cheap VPU mask instead."""
     g = features.at[nbrs].get(mode="fill", fill_value=0.0)  # (M, C)
-    k = weights.shape[0]
-    contrib = jnp.zeros((g.shape[0], weights.shape[-1]), jnp.float32)
-    for o in range(k):
-        sel = (offs == o)[:, None]
-        contrib = contrib + jnp.dot(
-            jnp.where(sel, g, 0.0),
-            weights[o],
-            preferred_element_type=jnp.float32,
-        )
-    return contrib
+    k, c, cout = weights.shape
+    return jnp.dot(
+        _offset_expand(g, offs, k),
+        weights.reshape(k * c, cout),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def apply_miss_correction(
@@ -853,18 +901,15 @@ def apply_miss_correction(
 
 
 def _miss_tier_dw(features, grad_out, rows, nbrs, offs, k):
+    # dW[offs[m]] += f[m]^T g[m] as ONE contraction: expand f to (M, K*C)
+    # blocks by offset, contract over M (see _offset_expand).
     f = features.at[nbrs].get(mode="fill", fill_value=0.0)  # (M, C)
     g = grad_out.at[rows].get(mode="fill", fill_value=0.0)  # (M, Cout)
-    dws = []
-    for o in range(k):
-        sel = (offs == o)[:, None]
-        dws.append(
-            jnp.dot(
-                jnp.where(sel, f, 0.0).T, g,
-                preferred_element_type=jnp.float32,
-            )
-        )
-    return jnp.stack(dws)
+    c = f.shape[1]
+    dw = jnp.dot(
+        _offset_expand(f, offs, k).T, g, preferred_element_type=jnp.float32
+    )
+    return dw.reshape(k, c, g.shape[1])
 
 
 def _miss_dw(
