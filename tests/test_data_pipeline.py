@@ -58,6 +58,97 @@ def make_fake_scene(root, name, n=2000, n_inst=3, n_sp=30, seed=0, yaw=False):
     }
 
 
+def make_coherent_scene(root, name, seed=0, n_inst=3, sp_per_inst=4,
+                        n_bg_sp=18):
+    """A geometrically COHERENT synthetic scene: compact, well-separated
+    instances whose superpoints nest entirely inside one instance each.
+
+    make_fake_scene assigns instance and superpoint ids i.i.d. per point, so
+    no superpoint is majority-owned by any instance and `gt_sp_masks` comes
+    out all-zero — the matcher's query gating (ref criterion.py:273-320
+    query_masks) then blocks every GT→query assignment and the only thing a
+    model can learn from it is "all background". Detection-learning tests
+    (tests/test_overfit.py) need THIS generator instead."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "points"), exist_ok=True)
+    for sub in ("instance_mask", "semantic_mask", "super_points"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+
+    centers = np.array(
+        [[1.2, 1.2, 0.8], [3.6, 1.4, 0.7], [2.3, 3.7, 0.9]], np.float32
+    )[:n_inst] + rng.uniform(-0.2, 0.2, (n_inst, 3)).astype(np.float32)
+    sizes = np.array(
+        [[1.2, 1.0, 1.4], [1.0, 1.3, 1.1], [1.4, 1.1, 0.9]], np.float32
+    )[:n_inst]
+
+    pts, inst, sem, sp = [], [], [], []
+    n_pts_inst = 300
+    for i in range(n_inst):
+        p = (rng.rand(n_pts_inst, 3).astype(np.float32) - 0.5) * sizes[i]
+        p += centers[i]
+        pts.append(p)
+        inst.append(np.full(n_pts_inst, i, np.int64))
+        # Raw nyu40 ids: instance i -> 3+i (see make_fake_scene).
+        sem.append(np.full(n_pts_inst, 3 + i, np.int64))
+        # Split the instance's points into sp_per_inst superpoints by x so
+        # each superpoint is spatially compact AND pure (one instance).
+        order = np.argsort(p[:, 0])
+        ids = np.empty(n_pts_inst, np.int64)
+        ids[order] = np.arange(n_pts_inst) * sp_per_inst // n_pts_inst
+        sp.append(i * sp_per_inst + ids)
+
+    # Background: floor plane + one wall, grouped into spatial superpoints.
+    n_bg = 1100
+    bg = rng.rand(n_bg, 3).astype(np.float32) * 5.0
+    bg[: n_bg // 2, 2] = rng.rand(n_bg // 2).astype(np.float32) * 0.05
+    bg[n_bg // 2 :, 1] = rng.rand(n_bg - n_bg // 2).astype(np.float32) * 0.05
+    pts.append(bg)
+    inst.append(np.full(n_bg, -1, np.int64))
+    sem.append(rng.randint(1, 3, n_bg).astype(np.int64))  # wall/floor
+    cell = np.clip((bg[:, 0] * 0.999 // (5.0 / n_bg_sp)), 0, n_bg_sp - 1)
+    sp.append(n_inst * sp_per_inst + cell.astype(np.int64))
+
+    p3 = np.concatenate(pts)
+    arr = np.zeros((len(p3), 6), np.float32)
+    arr[:, :3] = p3
+    arr[:, 3:] = rng.randint(0, 255, (len(p3), 3))
+    inst = np.concatenate(inst)
+    sem = np.concatenate(sem)
+    sp = np.concatenate(sp)
+    arr.tofile(os.path.join(root, "points", f"{name}.bin"))
+    inst.tofile(os.path.join(root, "instance_mask", f"{name}.bin"))
+    sem.tofile(os.path.join(root, "semantic_mask", f"{name}.bin"))
+    sp.tofile(os.path.join(root, "super_points", f"{name}.bin"))
+
+    boxes = []
+    for i in range(n_inst):
+        m = inst == i
+        mn, mx = p3[m].min(0), p3[m].max(0)
+        bb = list((mn + mx) / 2) + list(mx - mn)
+        boxes.append({"bbox_3d": [float(v) for v in bb],
+                      "bbox_label_3d": i})
+    return {
+        "lidar_points": {"lidar_path": f"points/{name}.bin"},
+        "pts_instance_mask_path": f"instance_mask/{name}.bin",
+        "pts_semantic_mask_path": f"semantic_mask/{name}.bin",
+        "super_pts_path": f"super_points/{name}.bin",
+        "axis_align_matrix": np.eye(4).tolist(),
+        "instances": boxes,
+    }
+
+
+def write_coherent_dataset(root, n_scenes=4, **kw):
+    entries = [
+        make_coherent_scene(root, f"scene{i}", seed=i, **kw)
+        for i in range(n_scenes)
+    ]
+    info = {"metainfo": {}, "data_list": entries}
+    path = os.path.join(root, "infos.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(info, f)
+    return path
+
+
 def write_fake_dataset(root, n_scenes=3, **kw):
     entries = [
         make_fake_scene(root, f"scene{i}", seed=i, **kw)
@@ -227,6 +318,25 @@ def test_train_aug_params_match_reference(name):
     assert tuple(rot) == ref["rot"], f"{name}: rot_range {rot} != {ref['rot']}"
     assert tuple(scale) == ref["scale"]
     assert cap == ref["cap"]
+
+
+@pytest.mark.parametrize(
+    "name", ["scannet", "s3dis", "multiscan", "arkitscenes"]
+)
+def test_train_pipeline_augment_off_drops_random_ops(name):
+    from functools import partial as _partial
+
+    random_fns = {T.random_flip, T.global_rot_scale_trans,
+                  T.elastic_transform}
+    full = train_pipeline(name)
+    plain = train_pipeline(name, augment=False)
+    fns = [f.func if isinstance(f, _partial) else f for f in plain]
+    assert not (set(fns) & random_fns)
+    # Everything deterministic survives, in order.
+    want = [f for f in full
+            if (f.func if isinstance(f, _partial) else f) not in random_fns]
+    assert [(f.func if isinstance(f, _partial) else f) for f in want] == fns
+    assert len(plain) < len(full)
 
 
 @pytest.mark.parametrize("name", sorted(REF_TEST_CAPS) + ["scannet"])

@@ -48,6 +48,51 @@ def test_read_obj_mesh(tmp_path):
     np.testing.assert_array_equal(faces[2], [0, 2, 3])
 
 
+def test_read_obj_mesh_mtl_atlas(tmp_path):
+    """No vertex colors -> colors come from the .mtl texture atlas sampled
+    at each vertex's UV (ref data/3rscan/utils.py:47-85 read_objmesh)."""
+    from PIL import Image
+
+    # 4x4 atlas: left half red, right half green; rows constant.
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[:, :2] = [200, 10, 20]
+    img[:, 2:] = [10, 200, 20]
+    Image.fromarray(img).save(tmp_path / "atlas.png")
+    (tmp_path / "m.mtl").write_text(
+        "newmtl mat0\nmap_Kd atlas.png\n"
+    )
+    (tmp_path / "m.obj").write_text(
+        "mtllib m.mtl\n"
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "vt 0.0 0.5\nvt 1.0 0.5\nvt 0.0 0.5\n"
+        "f 1/1 2/2 3/3\n"
+    )
+    pts, faces = read_obj_mesh(str(tmp_path / "m.obj"))
+    assert pts.shape == (3, 6) and faces.shape == (1, 3)
+    # u=0 -> left half (red), u=1.0 wraps to pixel w-1... but %1.0 of 1.0
+    # is 0.0; sample a clearly-right pixel via u close to 1 instead.
+    np.testing.assert_allclose(pts[0, 3:], [200, 10, 20])
+    np.testing.assert_allclose(pts[2, 3:], [200, 10, 20])
+
+
+def test_read_obj_mesh_mtl_right_half(tmp_path):
+    from PIL import Image
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[:, :2] = [200, 10, 20]
+    img[:, 2:] = [10, 200, 20]
+    Image.fromarray(img).save(tmp_path / "t.png")
+    (tmp_path / "m.mtl").write_text("map_Kd t.png\n")
+    (tmp_path / "m.obj").write_text(
+        "mtllib m.mtl\n"
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "vt 0.9 0.5\nvt 0.9 0.1\nvt 0.9 0.9\n"
+        "f 1/1 2/2 3/3\n"
+    )
+    pts, _ = read_obj_mesh(str(tmp_path / "m.obj"))
+    np.testing.assert_allclose(pts[:, 3:], [[10, 200, 20]] * 3)
+
+
 def _grid_mesh(n_side, rng, scale=4.0):
     """Connected triangulated grid (segmentator needs real adjacency)."""
     xs, ys = np.meshgrid(np.arange(n_side), np.arange(n_side))

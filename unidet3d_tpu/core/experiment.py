@@ -24,6 +24,11 @@ class DatasetSpec:
     ann_val: Optional[str] = None
     partition: float = 1.0
     label_mapping: Optional[dict] = None
+    # False drops the random transforms (flip/rot-scale-trans/elastic) from
+    # the train pipeline, keeping the deterministic ones (alignment, class
+    # mapping, color norm). For overfit/convergence tests — the reference
+    # has no such switch (its configs always augment).
+    augment: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

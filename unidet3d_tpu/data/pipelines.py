@@ -19,7 +19,22 @@ SCANNET_NUM_CLASSES = 20
 SCANNET_STUFF = [0, 1]
 
 
-def train_pipeline(dataset: str):
+def train_pipeline(dataset: str, augment: bool = True):
+    pipe = _train_pipeline(dataset)
+    if augment:
+        return pipe
+    # Overfit/convergence mode: strip the random geometric transforms,
+    # keep deterministic prep (alignment, class mapping, color norm) and
+    # the point cap. See DatasetSpec.augment.
+    random_fns = {T.random_flip, T.global_rot_scale_trans,
+                  T.elastic_transform}
+    return [
+        f for f in pipe
+        if (f.func if isinstance(f, partial) else f) not in random_fns
+    ]
+
+
+def _train_pipeline(dataset: str):
     if dataset == "scannet":
         from .dataset_specs import SCANNET_SEG_VALID_CLASS_IDS
 

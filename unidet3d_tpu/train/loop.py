@@ -53,7 +53,7 @@ def build_datasets(exp: ExperimentConfig, split: str):
             continue
         didx = exp.model.datasets.index(spec.name)
         pipe = (
-            train_pipeline(spec.name)
+            train_pipeline(spec.name, augment=spec.augment)
             if split == "train"
             else test_pipeline(spec.name)
         )
