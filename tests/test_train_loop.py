@@ -133,7 +133,7 @@ def test_eval_loader_capacity_buckets(tmp_path):
     write_fake_dataset(root, n_scenes=2)
     cfg = small_config(max_points=32768, voxel_capacity=32768,
                        max_superpoints=48)
-    assert capacity_buckets(cfg) == (8192, 16384, 32768)
+    assert capacity_buckets(cfg) == (8192, 16384, 24576, 32768)
     ds = IndoorDataset(root, "infos.pkl", 0,
                        pipeline=test_pipeline("scannet"), test_mode=True)
     groups = list(EvalLoader(ds, cfg, batch_size=2, n_shards=1))
