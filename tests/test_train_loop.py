@@ -133,7 +133,9 @@ def test_eval_loader_capacity_buckets(tmp_path):
     write_fake_dataset(root, n_scenes=2)
     cfg = small_config(max_points=32768, voxel_capacity=32768,
                        max_superpoints=48)
-    assert capacity_buckets(cfg) == (8192, 16384, 24576, 32768)
+    assert capacity_buckets(cfg) == (
+        8192, 16384, 20480, 24576, 28672, 32768
+    )
     ds = IndoorDataset(root, "infos.pkl", 0,
                        pipeline=test_pipeline("scannet"), test_mode=True)
     groups = list(EvalLoader(ds, cfg, batch_size=2, n_shards=1))
@@ -150,6 +152,133 @@ def test_eval_loader_capacity_buckets(tmp_path):
         type("L", (), {"cfg": cfg})(), samples[0]
     )
     assert needs[0] <= 2000 and needs[-1] > 1024
+
+
+def test_bucket_cfg_picks_intermediate_rungs():
+    """A group whose needs land between the half and full caps selects the
+    matching intermediate rung (5/8, 3/4 or 7/8), not the full cap — the
+    behaviour the finer ladder exists for."""
+    from unidet3d_tpu.data.loader import EvalLoader, capacity_buckets
+
+    cfg = small_config(max_points=131072, voxel_capacity=131072,
+                       max_superpoints=48)
+    assert capacity_buckets(cfg) == (
+        32768, 65536, 81920, 98304, 114688, 131072
+    )
+    dummy = type(
+        "L", (),
+        {"cfg": cfg, "buckets": capacity_buckets(cfg),
+         "_scene_level_needs": EvalLoader._scene_level_needs},
+    )()
+    rng = np.random.RandomState(0)
+
+    def sample(n):
+        # Dense surface-ish points: a thin slab quantizes to far fewer
+        # voxels than points, so the POINT count drives bucket choice.
+        pts = rng.rand(n, 3).astype(np.float32) * [4.0, 4.0, 0.2]
+        return {"points": pts}
+
+    # ~0.7x cap -> the 3/4 rung (98304), not full.
+    cfg_b = EvalLoader._bucket_cfg(dummy, [sample(92_000)])
+    assert cfg_b.max_points == 98304
+    # ~0.55x cap -> 5/8 rung.
+    cfg_b = EvalLoader._bucket_cfg(dummy, [sample(72_000)])
+    assert cfg_b.max_points == 81920
+    # ~0.85x cap -> 7/8 rung.
+    cfg_b = EvalLoader._bucket_cfg(dummy, [sample(110_000)])
+    assert cfg_b.max_points == 114688
+    # Group bucket = max over scenes.
+    cfg_b = EvalLoader._bucket_cfg(
+        dummy, [sample(20_000), sample(92_000)]
+    )
+    assert cfg_b.max_points == 98304
+
+
+def test_eval_loader_sorts_scenes_by_size(tmp_path):
+    """Scenes are grouped in descending size order so mixed-size datasets
+    don't pad small scenes up to the largest scene's bucket."""
+    from tests.test_data_pipeline import write_fake_dataset
+    from unidet3d_tpu.data.datasets import IndoorDataset
+    from unidet3d_tpu.data.loader import EvalLoader
+    from unidet3d_tpu.data.pipelines import test_pipeline
+
+    import pickle
+
+    from tests.test_data_pipeline import make_fake_scene
+
+    root = str(tmp_path / "scannet")
+    entries = [
+        make_fake_scene(root, f"scene{i}", n=n, seed=i)
+        for i, n in enumerate((900, 1700, 600, 1300))
+    ]
+    with open(os.path.join(root, "infos.pkl"), "wb") as f:
+        pickle.dump({"metainfo": {}, "data_list": entries}, f)
+    cfg = small_config(max_points=1024, voxel_capacity=1024,
+                       max_superpoints=48)
+    ds = IndoorDataset(root, "infos.pkl", 0,
+                       pipeline=test_pipeline("scannet"), test_mode=True)
+    sizes = [ds.scene_size(i) for i in range(4)]
+    assert sizes == [900, 1700, 600, 1300]  # raw file point counts
+    loader = EvalLoader(ds, cfg, batch_size=2, n_shards=1)
+    order = list(loader._order)
+    assert sorted(order) == [0, 1, 2, 3]
+    assert [sizes[i] for i in order] == sorted(sizes, reverse=True)
+    # All 4 scenes still come through exactly once (by scene identity).
+    seen = []
+    for samples, *_rest, n_real, _cfg_b in loader:
+        seen += [s["scene_idx"] for s in samples[:n_real]]
+    assert sorted(seen) == [0, 1, 2, 3]
+    # Opt-out restores dataset order.
+    loader2 = EvalLoader(ds, cfg, batch_size=2, n_shards=1,
+                         sort_by_size=False)
+    assert list(loader2._order) == [0, 1, 2, 3]
+    list(loader2)  # drain the worker
+
+
+def test_train_loader_reproducible_across_thread_counts(tmp_path):
+    """Batch n is a pure function of (seed, n): same seed -> bit-identical
+    batch streams for 1 vs 3 worker threads (the r3 loader shared one
+    RandomState across threads, making the stream schedule-dependent)."""
+    import jax
+
+    from unidet3d_tpu.data.datasets import ConcatDataset, IndoorDataset
+    from unidet3d_tpu.data.loader import TrainLoader
+    from unidet3d_tpu.data.pipelines import train_pipeline
+
+    root = str(tmp_path / "scannet")
+    write_fake_dataset(root, n_scenes=3)
+    cfg = small_config(max_points=512, voxel_capacity=512,
+                       max_superpoints=48)
+    ds = ConcatDataset([
+        IndoorDataset(root, "infos.pkl", 0,
+                      pipeline=train_pipeline("scannet"), seed=0)
+    ])
+
+    def take(num_threads, k=4):
+        loader = TrainLoader(ds, cfg, batch_size=2, seed=7,
+                             num_threads=num_threads)
+        out = [next(loader) for _ in range(k)]
+        loader.close()
+        return out
+
+    for a, b in zip(take(1), take(3)):
+        for la, lb in zip(
+            jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+        ):
+            np.testing.assert_array_equal(la, lb)
+    # Different seeds diverge (the randomness is real).
+    loader = TrainLoader(ds, cfg, batch_size=2, seed=8, num_threads=1)
+    other = next(loader)
+    loader.close()
+    first = take(1, k=1)[0]
+    diff = any(
+        not np.array_equal(la, lb)
+        for la, lb in zip(
+            jax.tree_util.tree_leaves(first),
+            jax.tree_util.tree_leaves(other),
+        )
+    )
+    assert diff
 
 
 def test_allgather_object_roundtrip():

@@ -59,6 +59,10 @@ class ExperimentConfig:
     # decoder/fixed costs — measured 108 vs 122.6 ms/scene on a v5e;
     # the reference TestLoop is bs=1). Set explicitly to trade memory.
     eval_batch_size: int = 0
+    # Per-iteration logging interval (reference mmengine LoggerHook default
+    # 50): every K steps log loss EMA, step time, scenes/s and ETA, plus a
+    # WARN line when the interval saw capacity drops (data/telemetry.py).
+    log_interval: int = 50
     seed: int = 0
     load_from: Optional[str] = None  # params checkpoint for (partial) init
     load_prefix: str = "backbone"  # subtree restored from load_from

@@ -14,6 +14,7 @@ import numpy as np
 from ..core.config import ModelConfig
 from ..models.detector import GTBatch, PointBatch
 from ..ops.gridpack import build_gridpack_host, quantize_points
+from .telemetry import DROPS
 
 
 def _pad_rows(arr: np.ndarray, n: int, fill=0):
@@ -58,6 +59,7 @@ def collate(
         n = min(len(pts), p)
         if len(pts) > p:
             sel = np.sort(rng.choice(len(pts), p, replace=False))
+            DROPS.add("points_dropped", len(pts) - p)
         else:
             sel = np.arange(n)
         points[i, :n] = pts[sel, :3]
@@ -78,10 +80,13 @@ def collate(
         if sp is not None:
             # Superpoints beyond capacity S are folded into slot S-1 (rare;
             # configs size S above observed max superpoint counts).
-            sp_ids[i, :n] = np.minimum(sp[sel], s - 1).astype(np.int32)
+            spc = sp[sel]
+            DROPS.add("superpoints_folded", int((spc >= s).sum()))
+            sp_ids[i, :n] = np.minimum(spc, s - 1).astype(np.int32)
 
         gb = sm.get("gt_bboxes_3d", np.zeros((0, 6), np.float32))
         gl = sm.get("gt_labels_3d", np.zeros((0,), np.int64))
+        DROPS.add("gts_dropped", len(gb) - g)
         ng = min(len(gb), g)
         if ng:
             boxes[i, :ng, : gb.shape[1]] = gb[:ng]
@@ -95,6 +100,7 @@ def collate(
         pim = sm.get("pts_instance_mask")
         if pim is not None:
             im = pim[sel].astype(np.int32)
+            DROPS.add("instances_dropped", int((im >= g).sum()))
             im = np.where(im >= g, -1, im)  # overflowed GTs dropped
             inst_ids[i, :n] = im
 
@@ -126,6 +132,19 @@ def _build_one_pack(vox_src, valid, cfg: ModelConfig):
     caps = list(cfg.level_capacities(b))
     bxyz = quantize_points(vox_src, valid)
     pack, _ = build_gridpack_host(bxyz, valid.reshape(-1), caps)
+    # Capacity-overflow telemetry: valid points whose level-0 voxel was
+    # dropped, and valid voxels whose downsample parent overflowed.
+    DROPS.add(
+        "voxels_dropped",
+        int((np.asarray(pack.point_inverse)[valid.reshape(-1)]
+             >= caps[0]).sum()),
+    )
+    for lvl, par in enumerate(pack.parent):
+        v = np.asarray(pack.valid[lvl])
+        DROPS.add(
+            "coarse_voxels_dropped",
+            int((np.asarray(par)[v] >= caps[lvl + 1]).sum()),
+        )
     if cfg.subm_impl == "pallas":
         from ..ops.gridpack import build_banded_pack
 

@@ -78,6 +78,16 @@ class IndoorDataset:
     def _path(self, p):
         return p if os.path.isabs(p) else os.path.join(self.data_root, p)
 
+    def scene_size(self, idx: int) -> int:
+        """Raw point count of scene `idx` WITHOUT loading it: the (N, 6)
+        float32 .bin is 24 bytes/point. Upper bound on the pipeline output
+        (test pipelines may subsample) — used by EvalLoader to sort scenes
+        by size so groups land in the smallest capacity bucket that covers
+        them (mixing one large scene into a group of small ones pads the
+        whole group up)."""
+        path = self._path(self.data_list[idx]["lidar_points"]["lidar_path"])
+        return os.path.getsize(path) // 24
+
     def load_raw(self, idx: int) -> dict:
         entry = self.data_list[idx]
         pts = _read_bin(
@@ -126,13 +136,21 @@ class IndoorDataset:
         sample["gt_labels_3d"] = labels
         return sample
 
-    def __getitem__(self, idx: int) -> dict:
+    def get(self, idx: int, rng: np.random.RandomState | None = None) -> dict:
+        """__getitem__ with an EXPLICIT RNG. TrainLoader threads each pass a
+        per-batch RandomState derived from (seed, batch index) so the sample
+        stream is reproducible regardless of the thread schedule — the
+        shared `self.rng` fallback is only safe single-threaded."""
+        r = self.rng if rng is None else rng
         if not self.test_mode:
-            idx = self.rng.randint(len(self.data_list))  # ref random draw
+            idx = r.randint(len(self.data_list))  # ref random draw
         sample = self.load_raw(idx)
         for t in self.pipeline:
-            sample = t(sample, rng=self.rng)
+            sample = t(sample, rng=r)
         return sample
+
+    def __getitem__(self, idx: int) -> dict:
+        return self.get(idx)
 
 
 class ConcatDataset:
@@ -146,7 +164,10 @@ class ConcatDataset:
     def __len__(self):
         return int(self._cum[-1]) if len(self.datasets) else 0
 
-    def __getitem__(self, idx: int):
+    def get(self, idx: int, rng: np.random.RandomState | None = None):
         d = int(np.searchsorted(self._cum, idx, side="right"))
         prev = 0 if d == 0 else int(self._cum[d - 1])
-        return self.datasets[d][idx - prev]
+        return self.datasets[d].get(idx - prev, rng)
+
+    def __getitem__(self, idx: int):
+        return self.get(idx)

@@ -21,7 +21,14 @@ from .datasets import ConcatDataset
 
 class TrainLoader:
     """Infinite loader: each batch draws `batch_size` random scenes from the
-    concat dataset (reference semantics: random scene draw per __getitem__)."""
+    concat dataset (reference semantics: random scene draw per __getitem__).
+
+    REPRODUCIBLE regardless of thread count/schedule: every batch `n` is
+    built from its own `np.random.RandomState` derived from (seed, n) —
+    scene draws, in-pipeline augmentations and collate subsampling all pull
+    from it — and the consumer reassembles batches in index order through a
+    small reorder buffer. Two loaders with the same seed therefore yield
+    bit-identical batch streams even with different `num_threads`."""
 
     def __init__(
         self,
@@ -37,39 +44,50 @@ class TrainLoader:
         self.cfg = cfg
         self.batch_size = batch_size
         self.n_shards = n_shards
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._n_drawn = 0  # next batch index to build (guarded by _lock)
+        self._buf: dict = {}  # consumer-side reorder buffer
+        self._next_out = 0  # next batch index to yield
         self._threads = [
             threading.Thread(target=self._worker, daemon=True)
             for _ in range(num_threads)
         ]
-        self._lock = threading.Lock()
         for t in self._threads:
             t.start()
 
-    def _draw_indices(self):
-        with self._lock:
-            return self.rng.randint(len(self.dataset), size=self.batch_size)
+    def _batch_rng(self, n: int) -> np.random.RandomState:
+        """Per-batch RandomState keyed by (seed, batch index) — the stream
+        is a pure function of the pair, never of the thread schedule."""
+        return np.random.RandomState(
+            np.random.SeedSequence([self.seed, n]).generate_state(4)
+        )
 
     def _worker(self):
         while not self._stop.is_set():
-            idxs = self._draw_indices()
-            samples = [self.dataset[i] for i in idxs]
+            with self._lock:
+                n = self._n_drawn
+                self._n_drawn += 1
+            rng = self._batch_rng(n)
+            idxs = rng.randint(len(self.dataset), size=self.batch_size)
+            samples = [self.dataset.get(i, rng) for i in idxs]
             batch, gt, pack = collate(
-                samples, self.cfg, training=True, n_shards=self.n_shards
+                samples, self.cfg, training=True, n_shards=self.n_shards,
+                rng=rng,
             )
             if self.n_shards == 1 and pack is not None:
                 # Normalise to the train-step transport form (leading dim
                 # == mesh size; see parallel.train_step.make_train_step).
                 pack = _tree_map(lambda x: x[None], pack)
-            batch = (batch, gt, pack)
+            item = (n, (batch, gt, pack))
             # Re-offer the SAME batch on a slow consumer: a built batch
             # (~1.3 s of bs8 rulebook work) must never be thrown away. The
             # timeout only exists so close() can stop a blocked worker.
             while not self._stop.is_set():
                 try:
-                    self._q.put(batch, timeout=5)
+                    self._q.put(item, timeout=5)
                     break
                 except queue.Full:
                     continue
@@ -78,10 +96,19 @@ class TrainLoader:
         return self
 
     def __next__(self):
-        return self._q.get()
+        # Drain the queue into the reorder buffer until the next in-order
+        # batch arrives; the buffer stays <= num_threads + prefetch entries,
+        # and draining keeps workers from blocking on a full queue.
+        while self._next_out not in self._buf:
+            n, b = self._q.get()
+            self._buf[n] = b
+        item = self._buf.pop(self._next_out)
+        self._next_out += 1
+        return item
 
     def close(self):
         self._stop.set()
+        self._buf.clear()
         while not self._q.empty():
             try:
                 self._q.get_nowait()
@@ -90,29 +117,30 @@ class TrainLoader:
 
 
 def capacity_buckets(cfg: ModelConfig) -> tuple:
-    """Eval padding buckets: quarter / half / full of the configured point
-    capacity (floored so the deepest U-Net level keeps valid tile shapes).
-    Scenes are padded to STATIC capacities for XLA; most real scans fill
-    well under the worst-case cap, and while the pallas conv's empty-block
-    predication already skips padded conv work, every other op (BN,
-    elementwise, points ops, host<->device transport) still scales with
-    the cap — bucketing recovers that. One compile per bucket actually
-    used."""
+    """Eval padding buckets: 1/4, 1/2, 5/8, 3/4, 7/8 and full of the
+    configured point capacity (floored so the deepest U-Net level keeps
+    valid tile shapes). Scenes are padded to STATIC capacities for XLA;
+    most real scans fill well under the worst-case cap, and while the
+    pallas conv's empty-block predication already skips padded conv work,
+    every other op (BN, elementwise, points ops, host<->device transport)
+    still scales with the cap — bucketing recovers that. One compile per
+    bucket actually used."""
     def a512(v):  # banded blocks are 512 voxels: caps must divide cleanly
         return -(-v // 512) * 512
 
     full = cfg.max_points
-    # The 3/4 rung matters most: real ScanNet-like point counts cluster
-    # around ~0.7x the production cap, so without it the bulk of scenes
+    # Real ScanNet-like point counts cluster around ~0.7x the production
+    # cap, so the upper rungs matter most: without them the bulk of scenes
     # pads all the way to `full` (measured r3: the full bucket runs 1.68x
-    # slower per scene than the half bucket purely from padding).
+    # slower per scene than the half bucket purely from padding). The 5/8
+    # and 7/8 rungs split the remaining padding waste roughly in half
+    # again; compiles are one-off and cached.
     return tuple(
         sorted(
             {
-                min(a512(max(full // 4, 4096)), full),
-                min(a512(max(full // 2, 4096)), full),
-                min(a512(max(3 * full // 4, 4096)), full),
-                full,
+                min(a512(max(num * full // den, 4096)), full)
+                for num, den in
+                ((1, 4), (1, 2), (5, 8), (3, 4), (7, 8), (1, 1))
             }
         )
     )
@@ -128,25 +156,45 @@ class EvalLoader:
     Each group is padded to the smallest capacity BUCKET that covers its
     largest scene (see capacity_buckets); the yielded `cfg` is the
     bucket-adjusted ModelConfig the group was collated with — consumers
-    key their compiled steps on it. The final group is padded by repeating
-    the last scene; `n_real` marks how many leading scenes are genuine.
+    key their compiled steps on it. Groups are formed over a SIZE-SORTED
+    (descending) scene order when the dataset exposes `scene_size` —
+    homogeneous groups keep small scenes out of big buckets (measured r3:
+    the full bucket runs 1.68x slower per scene than the half bucket from
+    padding alone; dataset-order grouping mixes sizes and pays it for
+    every group containing one large scene). Eval is order-independent —
+    each scene's prediction and metric contribution is per-scene.
+    The final group is padded by repeating its last scene; `n_real` marks
+    how many leading scenes are genuine.
     Yields (samples, PointBatch, GTBatch, packs, n_real, cfg) where
     `packs` is the stacked per-shard transport form (batcher.build_packs).
     """
 
     def __init__(self, dataset, cfg: ModelConfig, batch_size: int,
                  n_shards: int = 1, prefetch: int = 2,
-                 buckets: tuple | None = None):
+                 buckets: tuple | None = None, sort_by_size: bool = True):
         assert batch_size % n_shards == 0, (batch_size, n_shards)
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = batch_size
         self.n_shards = n_shards
         self.buckets = capacity_buckets(cfg) if buckets is None else buckets
+        self._order = self._scene_order(sort_by_size)
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._n_groups = -(-len(dataset) // batch_size)
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+
+    def _scene_order(self, sort_by_size: bool) -> np.ndarray:
+        n = len(self.dataset)
+        if sort_by_size and hasattr(self.dataset, "scene_size"):
+            try:
+                sizes = np.asarray(
+                    [self.dataset.scene_size(i) for i in range(n)]
+                )
+                return np.argsort(-sizes, kind="stable")
+            except OSError:  # missing files: fall back to dataset order
+                pass
+        return np.arange(n)
 
     def _scene_level_needs(self, sample) -> np.ndarray:
         """Per-U-Net-level voxel counts of one scene (upper bound: collate
@@ -197,7 +245,10 @@ class EvalLoader:
         try:
             for g in range(self._n_groups):
                 lo = g * self.batch_size
-                idxs = [min(lo + j, n - 1) for j in range(self.batch_size)]
+                idxs = [
+                    int(self._order[min(lo + j, n - 1)])
+                    for j in range(self.batch_size)
+                ]
                 samples = [self.dataset[i] for i in idxs]
                 cfg_b = self._bucket_cfg(samples)
                 batch, gt, pack = collate(

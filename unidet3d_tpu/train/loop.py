@@ -141,11 +141,16 @@ def train(exp: ExperimentConfig, resume: str | None = None):
     val_epochs = _val_epochs(exp)
     rng = jax.random.PRNGKey(exp.seed + 1)
 
+    from ..data.telemetry import DROPS
+
     start_epoch = int(state.step) // exp.steps_per_epoch
+    total_steps = exp.total_steps
+    ema = None  # loss EMA for iteration lines (reference LoggerHook UX)
     for epoch in range(start_epoch + 1, exp.epochs + 1):
         t0 = time.time()
+        t_int = t0
         losses = []
-        for _ in range(exp.steps_per_epoch):
+        for it in range(1, exp.steps_per_epoch + 1):
             batch_np, gt_np, pack_np = next(loader)
             batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
             gt = jax.tree_util.tree_map(jnp.asarray, gt_np)
@@ -153,6 +158,31 @@ def train(exp: ExperimentConfig, resume: str | None = None):
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, batch, gt, pack, sub)
             losses.append(metrics["loss"])
+            if it % exp.log_interval == 0 or it == exp.steps_per_epoch:
+                # One host sync per interval (losses stay device-side
+                # between intervals so steps pipeline freely).
+                loss = float(losses[-1])
+                ema = loss if ema is None else 0.9 * ema + 0.1 * loss
+                now = time.time()
+                spstep = (now - t_int) / min(exp.log_interval, it)
+                t_int = now
+                done = (epoch - 1) * exp.steps_per_epoch + it
+                eta = int(max(total_steps - done, 0) * spstep)
+                log.info(
+                    "epoch %d iter %d/%d loss %.4f (ema %.4f) "
+                    "%.2f s/step %.2f scenes/s eta %d:%02d:%02d",
+                    epoch, it, exp.steps_per_epoch, loss, ema, spstep,
+                    exp.batch_size / spstep,
+                    eta // 3600, eta % 3600 // 60, eta % 60,
+                )
+                drops = DROPS.snapshot(reset=True)
+                if drops:
+                    log.warning(
+                        "capacity drops this interval: %s — inputs exceeded "
+                        "static caps (see data/telemetry.py; raise the "
+                        "relevant ModelConfig capacity if unexpected)",
+                        DROPS.format(drops),
+                    )
         mean_loss = float(jnp.mean(jnp.stack(losses)))
         dt = time.time() - t0
         log.info(
