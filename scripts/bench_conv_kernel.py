@@ -98,17 +98,18 @@ def main():
     n_real = int(pack.valid[0].sum())
     print(f"cap={cap} real voxels={n_real} ({100*n_real/cap:.0f}%)")
 
-    windows = cfg.level_conv_windows()[0]
+    windows = cfg.level_conv_windows()[0]  # (3,) per-GROUP (dx=-1,0,+1)
     wsubs = cfg.level_conv_subwindows()[0]
     if args.wsub or args.wsub_x:
         wy = args.wsub or wsubs[9]
         wx = args.wsub_x or wsubs[0]
         wsubs = tuple(
-            min(wx if (o // 9 != 1) else wy, windows[o]) for o in range(27)
+            min(wx if (o // 9 != 1) else wy, windows[o // 9])
+            for o in range(27)
         )
     interp = jax.default_backend() != "tpu"
-    print(f"windows y/x: {windows[9]}/{windows[0]}  wsubs: {wsubs[9]}/{wsubs[0]}"
-          f"  backend={jax.default_backend()}")
+    print(f"group windows c/x: {windows[1]}/{windows[0]}  "
+          f"wsubs: {wsubs[9]}/{wsubs[0]}  backend={jax.default_backend()}")
 
     rng = np.random.RandomState(0)
     for cin in args.cin:

@@ -83,9 +83,9 @@ def test_native_banded_bit_exact():
             jnp.array(rng.randn(n, 4).astype(np.float32)),
         )
         nbr = np.asarray(build_subm_neighbors(grid))
-        windows = np.array(
-            [256 if o // 9 != 1 else 144 for o in range(27)], np.int64
-        )
+        # Per-GROUP windows (one shared DMA window per dx slab of 9
+        # offsets), per-offset subwindows.
+        windows = np.array([256, 144, 256], np.int64)
         wsubs = np.array(
             [144 if o // 9 != 1 else 80 for o in range(27)], np.int64
         )

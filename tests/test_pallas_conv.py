@@ -27,10 +27,11 @@ def _setup(n=900, cap=1024, cin=8, cout=16, extent=14, batch=2, seed=13):
 def test_banded_rulebook_build():
     grid, vf, nbr, w = _setup()
     rb = build_banded_rulebook(nbr, 1024, block=128, window=512)
-    assert rb.bases.shape == (8, 27)
+    assert rb.bases.shape == (8, 3)  # one shared window base per dx group
     assert rb.rel.shape == (27, 1024)
-    # Reconstruct: base + rel == original neighbor where rel >= 0.
-    bases_per_row = np.repeat(rb.bases, 128, axis=0)  # (V, K)
+    # Reconstruct: group base + rel == original neighbor where rel >= 0.
+    base_o = rb.bases[:, np.arange(27) // 9]  # (nB, K)
+    bases_per_row = np.repeat(base_o, 128, axis=0)  # (V, K)
     recon = bases_per_row + rb.rel.T
     ok = rb.rel.T >= 0
     np.testing.assert_array_equal(recon[ok], nbr[ok])
@@ -135,9 +136,9 @@ def test_banded_conv_custom_vjp_matches_xla_grads():
     )
 
 
-def test_per_offset_windows_match_gather_form_with_grads():
-    """Mixed per-offset window widths (x wide, y/z narrow): value + grads
-    vs the XLA gather form. Integer inputs -> exact in bf16."""
+def test_per_group_windows_match_gather_form_with_grads():
+    """Mixed per-GROUP window widths (x slabs wide, center narrow): value +
+    grads vs the XLA gather form. Integer inputs -> exact in bf16."""
     import jax
     from unidet3d_tpu.ops.pallas_conv import build_miss_list, subm_conv_banded
 
@@ -146,12 +147,12 @@ def test_per_offset_windows_match_gather_form_with_grads():
     cap, cin, cout = 1024, 8, 16
     vf = jnp.asarray(rng.randint(-3, 4, (cap, cin)).astype(np.float32))
     w = jnp.asarray(rng.randint(-2, 3, (27, cin, cout)).astype(np.float32))
-    # x-offsets (o // 9 != 1) get 512, y/z/center 144 — narrow enough that
-    # the miss path fires for the narrow classes.
-    windows = tuple(512 if o // 9 != 1 else 144 for o in range(27))
+    # x groups (dx = ±1) get 512, the center group 144 — narrow enough
+    # that the miss path fires for the center class.
+    windows = (512, 144, 512)
     rb = build_banded_rulebook(nbr, cap, block=128, window=np.array(windows))
     ml = build_miss_list(rb.miss_idx, cap, miss_cap=4096)
-    # Per-offset widths must beat the uniform-narrow build on misses.
+    # Per-group widths must beat the uniform-narrow build on misses.
     rb_uniform = build_banded_rulebook(nbr, cap, block=128, window=144)
     assert rb.n_miss < rb_uniform.n_miss
 
@@ -195,15 +196,21 @@ def test_level_conv_windows_config():
     cfg = default_config()  # caps 131072..8192
     wins = cfg.level_conv_windows()
     assert len(wins) == len(cfg.num_planes)
-    for lvl, w27 in enumerate(wins):
-        assert len(w27) == 27
-        assert all(v % 16 == 0 for v in w27)
-        # y/z/center class = cfg.conv_window at full caps.
-        assert w27[13] == 576  # center offset (1,1,1) -> o=13
-    # x windows shrink with level capacity but never below the y/z width.
+    for lvl, w3 in enumerate(wins):
+        assert len(w3) == 3  # per-GROUP: (dx=-1, dx=0, dx=+1)
+        assert all(v % 16 == 0 for v in w3)
+        assert w3[0] == w3[2]  # x slabs symmetric
+        # Center group = cfg.conv_window at full caps.
+        assert w3[1] == 704
+    # x windows shrink with level capacity but never below the center width.
     x0 = wins[0][0]
     x_last = wins[-1][0]
-    assert x0 == 1536 and x_last == 576
+    assert x0 == 1664 and x_last == 704
+    # Subwindows are per-offset, clamped to their group window.
+    subs = cfg.level_conv_subwindows()
+    for w3, s27 in zip(wins, subs):
+        assert len(s27) == 27
+        assert all(s27[o] <= w3[o // 9] for o in range(27))
 
 
 def test_two_level_banding_matches_gather_form_with_grads():
@@ -218,7 +225,7 @@ def test_two_level_banding_matches_gather_form_with_grads():
     cap, cin, cout = 1024, 8, 16
     vf = jnp.asarray(rng.randint(-3, 4, (cap, cin)).astype(np.float32))
     w = jnp.asarray(rng.randint(-2, 3, (27, cin, cout)).astype(np.float32))
-    windows = tuple(512 if o // 9 != 1 else 256 for o in range(27))
+    windows = (512, 256, 512)  # per-GROUP (dx=-1, 0, +1)
     wsubs = tuple(144 if o // 9 != 1 else 80 for o in range(27))
     rb = build_banded_rulebook(
         nbr, cap, block=128, window=np.array(windows), wsub=np.array(wsubs)
@@ -267,7 +274,7 @@ def test_two_level_multi_subgroup_block():
 
     rng = np.random.RandomState(5)
     grid, vf, nbr, w = _setup(n=900, cap=1024)
-    windows = tuple(512 if o // 9 != 1 else 256 for o in range(27))
+    windows = (512, 256, 512)  # per-GROUP (dx=-1, 0, +1)
     wsubs = tuple(160 if o // 9 != 1 else 96 for o in range(27))
     rb = build_banded_rulebook(
         nbr, 1024, block=512, window=np.array(windows), wsub=np.array(wsubs)
@@ -457,7 +464,7 @@ def test_miss_spill_tier_exact_on_overflow():
     cap = 1024
     # window=128 on a spread-out scene produces hundreds of misses.
     rb = build_banded_rulebook(nbr, cap, block=128, window=128)
-    small_cap = max(rb.n_miss // 2, 1)  # forces tier-2 spill
+    small_cap = max(-(-rb.n_miss // 2), 1)  # forces tier-2 spill
     assert rb.n_miss > small_cap
     ml = build_miss_list(rb.miss_idx, cap, miss_cap=small_cap)
     assert ml.rows.shape == (2, small_cap)

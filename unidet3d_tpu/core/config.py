@@ -71,13 +71,17 @@ class ModelConfig:
     # full forward on a v5 lite chip — docs/PERF_NOTES.md); at small voxel
     # counts (32k) XLA still wins, so small-scale tools override to 'xla'.
     subm_impl: str = "pallas"
-    # Pallas banded-conv windows, PER OFFSET CLASS. In (batch, x, y, z)
-    # sorted order the y/z/center offsets drift by at most a z-run
-    # (~tens of rows; 576 = block 512 + 16-align slack + margin), while
-    # x-offsets jump a whole x-slab (~V / n_x_slices rows; walls orthogonal
-    # to x make the tail long — the residue goes to the compact miss list).
-    conv_window: int = 576  # y/z/center offsets
-    conv_window_x: int = 1536  # x offsets at full resolution
+    # Pallas banded-conv SHARED GROUP windows (one DMA per dx slab of 9
+    # offsets — ops/pallas_conv.py GRP). In (batch, x, y, z) sorted order
+    # the center (dx=0) group's 9 offsets drift by at most a couple of
+    # z-runs around the block (704 = block 512 + inter-offset spread +
+    # align slack), while the dx=±1 groups jump a whole x-slab
+    # (~V / n_x_slices rows; walls orthogonal to x make the tail long —
+    # the residue goes to the compact miss list). Measured on the 131k
+    # bench scene the grouped windows give the SAME miss counts as r3's
+    # per-offset 576/1536 (misses are wsub-driven) at ~1/8 the DMA bytes.
+    conv_window: int = 704  # dx=0 (y/z/center) group window
+    conv_window_x: int = 1664  # dx=±1 group windows at full resolution
     # Second banding level: per-SUBGROUP (128 consecutive rows) onehot
     # widths — drift across 128 rows is far smaller than across a 512
     # block, so the dominant onehot matmul shrinks 3-4x while the window
@@ -112,12 +116,16 @@ class ModelConfig:
             caps.append(max(caps[-1] // 2, 1024))
         return tuple(c * batch_size for c in caps)
 
-    def level_conv_windows(self) -> Tuple[Tuple[int, ...], ...]:
-        """Per-level (27,) pallas conv window widths, derived from PER-SCENE
-        capacities (drift is a within-scene property, so windows are batch-
-        size invariant and the host pack builder and the compiled kernel
-        always agree). x-offsets (o // 9 != 1) get the wide window, shrunk
-        at coarse levels where slabs are short; all values 16-aligned."""
+    def level_conv_windows(self) -> Tuple[Tuple[int, int, int], ...]:
+        """Per-level (3,) pallas conv GROUP window widths (dx = -1, 0, +1
+        slabs — ops/pallas_conv.py GRP), derived from PER-SCENE capacities
+        (drift is a within-scene property, so windows are batch-size
+        invariant and the host pack builder and the compiled kernel always
+        agree). The x groups (dx = ±1) get the wide window, shrunk at
+        coarse levels where slabs are short; all values 16-aligned. VMEM
+        cost is 3 window buffers per conv (wx + wc + wx rows x lane tile)
+        — ~1 MB at production widths, an ~8x cut from r3's 27 per-offset
+        buffers."""
 
         def a16(v):
             return -(-v // 16) * 16
@@ -125,14 +133,9 @@ class ModelConfig:
         out = []
         for cap in self.level_capacities(1):
             block = min(512, cap)
-            wyzc = a16(max(block + 64, min(self.conv_window, a16(cap + 16))))
-            # cap//32 keeps the 18 x-window VMEM buffers within the ~16 MB
-            # scoped-vmem budget even at the widest tail-conv channel pads
-            # (c_pad 256 at the concat convs).
-            wx = a16(max(wyzc, min(self.conv_window_x, max(cap // 32, wyzc))))
-            out.append(
-                tuple(wx if (o // 9 != 1) else wyzc for o in range(27))
-            )
+            wc = a16(max(block + 128, min(self.conv_window, a16(cap + 16))))
+            wx = a16(max(wc, min(self.conv_window_x, max(cap // 16, wc))))
+            out.append((wx, wc, wx))
         return tuple(out)
 
     def level_pack_align(self) -> Tuple[int, ...]:
@@ -160,7 +163,7 @@ class ModelConfig:
         passes (256/4=64 and 448/4=112 both fit one 128-deep pass)."""
         out = []
         aligns = self.level_pack_align()
-        for lvl, w27 in enumerate(self.level_conv_windows()):
+        for lvl, w3 in enumerate(self.level_conv_windows()):
             if aligns[lvl] >= 64:
                 wy, wx = max(self.conv_wsub, 256), max(self.conv_wsub_x, 448)
             elif aligns[lvl] == 32:
@@ -169,7 +172,7 @@ class ModelConfig:
                 wy, wx = self.conv_wsub, self.conv_wsub_x
             out.append(
                 tuple(
-                    min(wx if (o // 9 != 1) else wy, w27[o])
+                    min(wx if (o // 9 != 1) else wy, w3[o // 9])
                     for o in range(27)
                 )
             )

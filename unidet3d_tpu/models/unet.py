@@ -38,10 +38,11 @@ class SubmConv(nn.Module):
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
-    # Static pallas window width(s): int or (27,) per-offset tuple (must NOT
-    # ride in the banded tuple — remat would turn it into a tracer).
-    conv_window: int | tuple = 576
-    conv_wsub: int | tuple | None = None  # subgroup onehot width(s)
+    # Static pallas window width(s): int or (3,) per-GROUP tuple (one
+    # shared DMA window per dx slab of 9 offsets; must NOT ride in the
+    # banded tuple — remat would turn it into a tracer).
+    conv_window: int | tuple = 704
+    conv_wsub: int | tuple | None = None  # per-offset onehot width(s)
     # Host rulebook base/sub_offs alignment (16*p enables channel packing
     # up to p — ModelConfig.level_pack_align; must match the pack build).
     pack_align: int = 16
@@ -81,7 +82,7 @@ class ResidualBlock(nn.Module):
     out_channels: int
     axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32
-    conv_window: int | tuple = 576  # int or (27,) per-offset widths
+    conv_window: int | tuple = 704  # int or (3,) per-GROUP widths
     conv_wsub: int | tuple | None = None
     pack_align: int = 16  # see SubmConv.pack_align
 
@@ -135,10 +136,10 @@ class SpConvUNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = True  # rematerialise residual blocks in training backward
     # Pallas conv windows (when pack.banded given): int (uniform) or a
-    # per-level tuple whose entries are an int or (27,) per-offset widths
-    # (ModelConfig.level_conv_windows/subwindows) — must match the host
-    # pack build.
-    conv_window: int | tuple = 576
+    # per-level tuple whose entries are an int or (3,) per-GROUP widths
+    # (ModelConfig.level_conv_windows; subwindows stay per-offset) — must
+    # match the host pack build.
+    conv_window: int | tuple = 704
     conv_wsub: int | tuple | None = None
     conv_align: int | tuple = 16  # per-level pack alignment (see SubmConv)
 
@@ -255,7 +256,7 @@ class UNetBackbone(nn.Module):
     num_planes: Sequence[int]
     axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32
-    conv_window: int | tuple = 576  # see SpConvUNet.conv_window
+    conv_window: int | tuple = 704  # see SpConvUNet.conv_window
     conv_wsub: int | tuple | None = None
     conv_align: int | tuple = 16  # see SpConvUNet.conv_align
     remat: bool = True  # see SpConvUNet.remat / ModelConfig.backbone_remat

@@ -211,12 +211,15 @@ void unidet3d_build_gridpack(
 // — this is the input-pipeline hot path, so it runs here multithreaded.
 //
 //   neighbors: (V, 27) int32 row-major, sentinel = capacity; V = nb*block.
-//   windows/wsubs: (27,) per-offset widths, wsubs pre-clamped to windows.
+//   windows: (3,) per-GROUP DMA widths — the 27 offsets form 3 dx-slab
+//   groups of 9 (o / 9) sharing one window each (grouped-window kernel).
+//   wsubs: (27,) per-offset onehot widths, pre-clamped to group windows.
 //   align: bases/sub_offs rounded DOWN to this multiple (16, or 16*p for
 //   channel-packed kernels — see ops/pallas_conv.py choose_pack).
-//   Outputs preallocated: bases (nb,27), sub_offs (nb,n_sub,27),
-//   rel (27,V) K-major, active (nb,), miss_{rows,nbrs,offs} (miss_cap,)
-//   padded with 2^30 / 2^30 / 0. *n_miss = total misses BEFORE truncation.
+//   Outputs preallocated: bases (nb,3) GROUP bases, sub_offs
+//   (nb,n_sub,27), rel (27,V) K-major, active (nb,), miss_{rows,nbrs,offs}
+//   (miss_cap,) padded with 2^30 / 2^30 / 0. *n_miss = total misses BEFORE
+//   truncation.
 void unidet3d_build_banded(
     const int32_t* neighbors, int64_t v, int64_t capacity, int64_t block,
     const int64_t* windows, const int64_t* wsubs, int64_t n_sub,
@@ -226,6 +229,8 @@ void unidet3d_build_banded(
   const int64_t nb = v / block;
   const int64_t sub_rows = block / n_sub;
   const int32_t kInt32Max = INT32_MAX;
+  constexpr int kGrp = 9;   // offsets per shared-window group (dx slab)
+  constexpr int kNGrp = 3;  // 27 / kGrp
   // Per-block miss lists, concatenated + ordered afterwards.
   std::vector<std::vector<int64_t>> block_miss(nb);  // packed (o<<40 | row)
 
@@ -233,24 +238,33 @@ void unidet3d_build_banded(
   pfor(nb, n_threads, [&](int64_t kb) {
     const int32_t* nb_ptr = neighbors + kb * block * 27;
     int32_t any_valid = 0;
-    for (int o = 0; o < 27; ++o) {
-      // Block base: min valid neighbor, INT_MAX->0, clamp, align down.
+    // Group bases: min valid neighbor over the block AND the group's 9
+    // offsets, INT_MAX->0, clamp, align down.
+    int64_t gbase[kNGrp];
+    for (int g = 0; g < kNGrp; ++g) {
       int32_t mn = kInt32Max;
       for (int64_t r = 0; r < block; ++r) {
-        int32_t idx = nb_ptr[r * 27 + o];
-        if (idx < capacity && idx < mn) mn = idx;
+        for (int o = g * kGrp; o < (g + 1) * kGrp; ++o) {
+          int32_t idx = nb_ptr[r * 27 + o];
+          if (idx < capacity && idx < mn) mn = idx;
+        }
       }
       if (mn != kInt32Max) any_valid = 1;
       int64_t base = (mn == kInt32Max) ? 0 : mn;
       base = std::min<int64_t>(base, std::max<int64_t>(capacity - 1, 0));
       base -= base % align;
-      bases[kb * 27 + o] = static_cast<int32_t>(base);
-      const int64_t w = windows[o], ws = wsubs[o];
+      gbase[g] = base;
+      bases[kb * kNGrp + g] = static_cast<int32_t>(base);
+    }
+    for (int o = 0; o < 27; ++o) {
+      const int64_t base = gbase[o / kGrp];
+      const int64_t w = windows[o / kGrp], ws = wsubs[o];
       int64_t lim = std::max<int64_t>(w - ws, 0);
       lim -= lim % align;  // clamped offsets must stay aligned
       for (int64_t sg = 0; sg < n_sub; ++sg) {
-        // Subgroup base -> aligned offset into the window (floor-mod,
-        // matching numpy's sign semantics), clipped into [0, lim].
+        // Subgroup base -> aligned offset into the group window
+        // (floor-mod, matching numpy's sign semantics), clipped to
+        // [0, lim].
         int32_t smn = kInt32Max;
         for (int64_t r = sg * sub_rows; r < (sg + 1) * sub_rows; ++r) {
           int32_t idx = nb_ptr[r * 27 + o];
@@ -273,7 +287,8 @@ void unidet3d_build_banded(
             block_miss[kb].push_back((static_cast<int64_t>(o) << 40) | row);
         }
         // -16 sentinel: no in-band entry -> kernel skips the subgroup
-        // (and the whole window DMA when every subgroup is empty).
+        // (and the whole group DMA when every (offset, subgroup) is
+        // empty).
         sub_offs[(kb * n_sub + sg) * 27 + o] =
             any_in_band ? static_cast<int32_t>(soff) : -16;
       }

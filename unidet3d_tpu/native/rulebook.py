@@ -138,22 +138,31 @@ def build_banded(
     """Native two-level banded rulebook + compact miss list for one level.
 
     Bit-exact twin of ops/pallas_conv.py::build_banded_rulebook +
-    build_miss_list (tested in tests/test_native_rulebook.py). `align` =
-    base/sub_offs alignment (16*pack for channel-packed kernels). Returns
-    (bases, sub_offs, rel, active, miss_rows, miss_nbrs, miss_offs,
+    build_miss_list (tested in tests/test_native_rulebook.py). `windows`
+    is (3,) per-GROUP (one shared DMA window per dx slab of 9 offsets);
+    `wsubs` is (27,) per-offset. `align` = base/sub_offs alignment
+    (16*pack for channel-packed kernels). Returns (bases (nb, 3),
+    sub_offs, rel, active, miss_rows, miss_nbrs, miss_offs,
     n_miss_total)."""
+    from ..ops.pallas_conv import GRP, offset_windows
+
     lib = _load()
     assert lib is not None, "native rulebook library unavailable"
-    v = neighbors.shape[0]
+    v, k = neighbors.shape
     assert v % block == 0, (v, block)  # same contract as the numpy twin
+    n_grp = k // GRP
     nb = v // block
     if n_threads is None:
         n_threads = min(os.cpu_count() or 1, 16)
     neighbors = np.ascontiguousarray(neighbors, np.int32)
-    windows = np.ascontiguousarray(windows, np.int64)
-    wsubs = np.ascontiguousarray(np.minimum(wsubs, windows), np.int64)
+    windows = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(windows, np.int64), (n_grp,))
+    )
+    wsubs = np.ascontiguousarray(
+        np.minimum(wsubs, offset_windows(windows, k)), np.int64
+    )
 
-    bases = np.empty((nb, 27), np.int32)
+    bases = np.empty((nb, n_grp), np.int32)
     sub_offs = np.empty((nb, n_sub, 27), np.int32)
     rel = np.empty((27, v), np.int32)
     active = np.empty(nb, np.int32)

@@ -92,10 +92,13 @@ def _pack64(bxyz: np.ndarray) -> np.ndarray:
 
 
 def build_gridpack_host(
-    bxyz: np.ndarray, point_valid: np.ndarray, capacities: Sequence[int]
+    bxyz: np.ndarray, point_valid: np.ndarray, capacities: Sequence[int],
+    num_threads: int | None = None,
 ):
     """Numpy GridPack builder with semantics identical to the device path:
     voxels sorted by (batch, x, y, z); overflow beyond capacity dropped.
+    `num_threads` feeds the native builder's pfor (C++ releases the GIL, so
+    multi-core hosts overlap across loader threads too).
 
     Returns (GridPack of numpy arrays, counts0 (V_0,) float32 point counts).
     """
@@ -104,7 +107,7 @@ def build_gridpack_host(
 
         if _native.available():
             return _native.build_gridpack(
-                bxyz, point_valid, list(capacities)
+                bxyz, point_valid, list(capacities), n_threads=num_threads
             )
     except ImportError:
         pass
@@ -235,7 +238,8 @@ def quantize_points(vox_src: np.ndarray, valid: np.ndarray) -> np.ndarray:
 class BandedPack(NamedTuple):
     """Per-level two-level banded rulebooks for the pallas subm conv (see
     ops/pallas_conv.py). All leaves are arrays (pytree-safe):
-    bases[l]: (nB_l, 27); sub_offs[l]: (nB_l, nS, 27); rel[l]: (27, V_l);
+    bases[l]: (nB_l, 3) GROUP window bases (one shared DMA window per dx
+    slab of 9 offsets); sub_offs[l]: (nB_l, nS, 27); rel[l]: (27, V_l);
     active[l]: (nB_l,) block-has-any-valid-neighbor flags (kernel skips
     fully-padded blocks); miss_rows/miss_nbrs/miss_offs[l]: (2, M) compact
     out-of-band lists — tier 0 always applied, tier 1 a lax.cond spill
@@ -254,18 +258,21 @@ def build_banded_pack(
     pack: GridPack,
     capacities,
     block: int = 512,
-    window=576,
+    window=704,
     wsub=None,
     miss_cap: int = 16384,
     align=16,
+    num_threads: int | None = None,
 ) -> BandedPack:
     """Host-side: convert every level's neighbor table to banded form.
 
-    `window` / `wsub`: int (uniform), or per-level sequences whose entries
-    are an int or a (K,) per-offset width tuple
-    (ModelConfig.level_conv_windows / level_conv_subwindows).
-    `align`: int or per-level ints — base/sub_offs alignment, 16 * the
-    level's max channel-packing factor (ModelConfig.level_pack_align)."""
+    `window`: int (uniform), or per-level sequence whose entries are an
+    int or a (3,) per-GROUP width tuple (ModelConfig.level_conv_windows —
+    one shared DMA window per dx slab of 9 offsets). `wsub`: int or
+    per-level entries of int / (27,) per-offset widths
+    (ModelConfig.level_conv_subwindows). `align`: int or per-level ints —
+    base/sub_offs alignment, 16 * the level's max channel-packing factor
+    (ModelConfig.level_pack_align)."""
     from .pallas_conv import (
         build_banded_rulebook,
         build_miss_list,
@@ -293,17 +300,19 @@ def build_banded_pack(
         b = min(block, cap)
         al = int(aligns[lvl] if aligns[lvl] is not None else 16)
         if use_native:
-            w27 = np.broadcast_to(np.asarray(windows[lvl], np.int64), (27,))
+            from .pallas_conv import offset_windows
+
+            w3 = np.broadcast_to(np.asarray(windows[lvl], np.int64), (3,))
             ws27 = (
-                w27
+                offset_windows(w3, 27)
                 if wsubs[lvl] is None
                 else np.broadcast_to(np.asarray(wsubs[lvl], np.int64), (27,))
             )
             # Collect up to 2*cap entries; Python reshapes into the
             # two-tier (2, cap) transport form (tier 1 = lax.cond spill).
             (bs, so, rl, ac, rows, nbrs, offs, total) = native_rb.build_banded(
-                nbr, cap, b, w27, ws27, n_subgroups(b), 2 * miss_cap,
-                align=al,
+                nbr, cap, b, w3, ws27, n_subgroups(b), 2 * miss_cap,
+                align=al, n_threads=num_threads,
             )
             warn_miss_overflow(total, miss_cap)
             bases.append(bs)

@@ -5,13 +5,23 @@ the 26 neighbor gathers per subm conv run ~30x off the HBM roofline
 (docs/PERF_NOTES.md). This kernel exploits the sorted voxel order: each
 offset's neighbor map is monotone, so for a block of B consecutive output
 voxels all existing neighbors lie in a narrow source window. The host
-rulebook emits, per (block, offset), the window base (scalar-prefetched) and
-in-window relative indices; the kernel runs, per block, an unrolled loop over
-the K=27 offsets with double-buffered window DMAs:
+rulebook emits, per (block, GROUP), a shared window base (scalar-prefetched)
+and per-offset in-window relative indices; the kernel runs, per block, THREE
+window DMAs and an unrolled compute loop over the K=27 offsets:
 
-    window  = DMA  feat[base : base + W]          (contiguous, full HBM BW)
-    onehot  = (rel == iota(W))                    (VPU, in VMEM)
-    acc    += (onehot @ window) @ weights[o]      (two MXU matmuls)
+    window[g] = DMA feat[gbase : gbase + W_g]     (contiguous, full HBM BW)
+    onehot    = (rel == iota(Wsub))               (VPU, in VMEM)
+    acc      += (onehot @ window_slice) @ W[o]    (two MXU matmuls)
+
+GROUPED WINDOWS (the round-4 lever): the 27 offsets fall into 3 dx-slab
+groups (dx = -1 / 0 / +1 in the x-major enumeration, 9 offsets each) whose
+source windows overlap almost entirely — the 9 dy/dz variants of one slab
+differ only by a z-run of drift. One window DMA per GROUP replaces 27
+per-offset DMAs: window traffic drops ~8x (the r3 kernel moved ~2.1 GB/conv
+in window DMAs at 131k voxels — 2.6 ms of its measured 3.91 ms at HBM
+speed), and the freed VMEM halves. Per-offset banding is preserved one
+level down: each (block, subgroup, offset) gets a 16-aligned offset INTO
+its group window and `wsub`-narrow onehot matmuls exactly as before.
 
 Mosaic layout notes: dynamic lane-dim indexing is not lowerable, so the
 offset axis is unrolled with one rel input per offset, and every block is
@@ -38,26 +48,30 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK = 512
 WINDOW = 1024  # must be >= BLOCK + max in-block drift spread
 _SUB, _LANE = 8, 64  # BLOCK rows are carried as (BLOCK/64, 64) tiles
+GRP = 9  # offsets per shared-window group (one dx slab, x-major order)
 assert BLOCK % _LANE == 0
 
 
 class BandedRulebook(NamedTuple):
     """Host-built TWO-LEVEL banded rulebook for one level's subm conv.
 
-    Level 1 (DMA): per (block, offset) a window base covering the whole
-    block's neighbors — one contiguous HBM->VMEM copy.
+    Level 1 (DMA): per (block, GROUP of 9 same-dx offsets) a shared window
+    base covering all 9 offsets' neighbors — one contiguous HBM->VMEM copy
+    per group instead of per offset (the windows overlap almost entirely).
     Level 2 (compute): per (block, SUBGROUP, offset) an offset INTO that
-    window; rel indices are rebased per subgroup, so the onehot matmul is
-    only `wsub` wide instead of the full window (3-4x fewer MXU/VPU FLOPs —
-    drift across 128 consecutive rows is far smaller than across 512).
+    group window; rel indices are rebased per subgroup, so the onehot
+    matmul is only `wsub` wide instead of the full window (3-4x fewer
+    MXU/VPU FLOPs — drift across 128 consecutive rows is far smaller than
+    across 512).
 
-    bases: (nB, K) int32 window base row per (block, offset), 16-aligned.
-    sub_offs: (nB, nS, K) int32 subgroup start WITHIN the window, 16-aligned,
-        in [0, window - wsub]; -16 SENTINEL when the (block, subgroup,
-        offset) has no in-band entry at all — the kernel skips that
-        subgroup's gather entirely (all its rel are -1, the result is an
-        exact zero), and an offset whose every subgroup is -16 skips its
-        window DMA too. Real scenes leave many x-offset subgroups empty.
+    bases: (nB, K//GRP) int32 group window base row, 16-aligned.
+    sub_offs: (nB, nS, K) int32 subgroup start WITHIN the group window,
+        16-aligned, in [0, gwindow - wsub]; -16 SENTINEL when the (block,
+        subgroup, offset) has no in-band entry at all — the kernel skips
+        that subgroup's gather entirely (all its rel are -1, the result is
+        an exact zero), and a group whose every (offset, subgroup) is -16
+        skips its window DMA too. Real scenes leave many x-offset
+        subgroups empty.
     rel: (K, V) int32 subgroup-relative index in [0, wsub), -1 = none.
     active: (nB,) int32 1 where the block has ANY valid neighbor entry.
         Fully-padded blocks (voxel capacity is a static worst case; real
@@ -83,6 +97,14 @@ def n_subgroups(block: int) -> int:
     return max(sub // 2, 1)
 
 
+def offset_windows(window, k: int) -> np.ndarray:
+    """Per-OFFSET window widths from per-GROUP ones: offset o reads its
+    group's shared window (group = o // GRP, i.e. the dx slab)."""
+    n_grp = k // GRP
+    wg = np.broadcast_to(np.asarray(window, np.int64), (n_grp,))
+    return wg[np.arange(k) // GRP]
+
+
 def build_banded_rulebook(
     neighbors: np.ndarray, capacity: int, block: int = BLOCK,
     window=WINDOW, wsub=None, align: int = 16,
@@ -90,10 +112,11 @@ def build_banded_rulebook(
     """Convert a (V, K) neighbor table (sentinel = capacity) into the
     two-level banded form. numpy, vectorised; runs in the input pipeline.
 
-    `window` (DMA width) and `wsub` (onehot width) may each be an int or a
-    (K,) per-offset sequence (x-offsets drift a whole x-slab, y/z-offsets
-    only a z-run — see ModelConfig.level_conv_windows / subwindows).
-    wsub=None uses the full window (single-level behaviour).
+    `window` (DMA width) is an int or a (K//GRP,) per-GROUP sequence — one
+    shared window per dx slab (x-groups drift a whole x-slab, the center
+    group only a z-run — see ModelConfig.level_conv_windows). `wsub`
+    (onehot width) is an int or (K,) per-offset sequence; wsub=None uses
+    the full group window (single-level behaviour).
 
     `align`: bases and sub_offs are rounded DOWN to this multiple. 16 covers
     the kernel's sublane-aligned dynamic slices; CHANNEL-PACKED kernels
@@ -102,17 +125,19 @@ def build_banded_rulebook(
     """
     v, k = neighbors.shape
     assert v % block == 0, (v, block)
+    assert k % GRP == 0, k
+    n_grp = k // GRP
     # Host subgroup boundaries (block // ns voxels) must coincide with the
     # kernel's sublane-row boundaries ((block // LANE) // ns rows x LANE).
     assert block % (n_subgroups(block) * _LANE) == 0, (
         block, n_subgroups(block),
     )
-    windows = np.broadcast_to(np.asarray(window, np.int64), (k,))
+    win_o = offset_windows(window, k)  # (K,) = group window per offset
     if wsub is None:
-        wsubs = windows
+        wsubs = win_o
     else:
         wsubs = np.minimum(
-            np.broadcast_to(np.asarray(wsub, np.int64), (k,)), windows
+            np.broadcast_to(np.asarray(wsub, np.int64), (k,)), win_o
         )
     nb = v // block
     ns = n_subgroups(block)
@@ -120,24 +145,27 @@ def build_banded_rulebook(
     idx = neighbors.reshape(nb, block, k)
     valid = idx < capacity
     big = np.where(valid, idx, np.iinfo(np.int32).max)
-    bases = big.min(axis=1)  # (nB, K); INT_MAX when block empty
-    bases = np.where(bases == np.iinfo(np.int32).max, 0, bases)
-    bases = np.minimum(bases, max(capacity - 1, 0))
-    bases = (bases - (bases % align)).astype(np.int32)  # sublane-aligned DMA
+    # Group base: min valid neighbor over the block AND the group's 9
+    # offsets — one shared DMA base per (block, dx slab).
+    gbases = big.reshape(nb, block, n_grp, GRP).min(axis=(1, 3))
+    gbases = np.where(gbases == np.iinfo(np.int32).max, 0, gbases)
+    gbases = np.minimum(gbases, max(capacity - 1, 0))
+    gbases = (gbases - (gbases % align)).astype(np.int32)  # aligned DMA
     # (16 covers bf16 (16,128) tiling; f32 (8,128) needs only 8.)
+    base_o = gbases[:, np.arange(k) // GRP]  # (nB, K): each offset's base
 
-    # Subgroup bases, clamped into the window.
+    # Subgroup bases, rebased into the group window.
     big_s = big.reshape(nb, ns, sub_rows, k)
     sbase = big_s.min(axis=2)  # (nB, nS, K)
     sbase = np.where(sbase == np.iinfo(np.int32).max, 0, sbase)
-    sub_offs = sbase - bases[:, None, :]
+    sub_offs = sbase - base_o[:, None, :]
     sub_offs = sub_offs - (sub_offs % align)  # aligned dynamic sublane slice
-    lim = (windows - wsubs)[None, None, :]
+    lim = (win_o - wsubs)[None, None, :]
     lim = lim - (lim % align)  # clamped offsets must stay aligned
     sub_offs = np.clip(sub_offs, 0, np.maximum(lim, 0)).astype(np.int32)
 
     rel = idx.reshape(nb, ns, sub_rows, k) - (
-        bases[:, None, :] + sub_offs
+        base_o[:, None, :] + sub_offs
     )[:, :, None, :]
     in_band = valid.reshape(nb, ns, sub_rows, k) & (rel >= 0) & (
         rel < wsubs[None, None, None, :]
@@ -154,7 +182,7 @@ def build_banded_rulebook(
     miss_idx = np.ascontiguousarray(miss_idx.reshape(v, k).T)
     active = valid.reshape(nb, block * k).any(axis=1).astype(np.int32)
     return BandedRulebook(
-        bases=bases, sub_offs=sub_offs, rel=rel, active=active,
+        bases=gbases, sub_offs=sub_offs, rel=rel, active=active,
         miss_idx=miss_idx, n_miss=int(miss.sum()),
     )
 
@@ -180,12 +208,14 @@ def choose_pack(c: int, windows, wsubs, limit: int) -> int:
 def _make_kernel(n_off: int, wp: tuple, wsp: tuple, n_sub: int,
                  dtype, pack: int, c_slice: int, fuse: bool,
                  pred: bool = True):
-    """Burst-mode TWO-LEVEL kernel: all K window DMAs for a block launch at
-    once (one buffer + semaphore per offset), then the compute loop drains
-    them. Per offset the block's rows are processed in `n_sub` subgroups of
-    2 sublane rows (128 voxels); each subgroup's onehot matmul reads only a
-    `wsub`-wide dynamic slice of the window (host-rebased rel), cutting the
-    dominant onehot FLOPs 3-4x vs matching the whole window.
+    """Burst-mode TWO-LEVEL kernel with GROUPED window DMAs: the K//GRP
+    (= 3) group windows for a block launch at once (one buffer + semaphore
+    per GROUP), then the compute loop drains them — each group's 9 offsets
+    share its window. Per offset the block's rows are processed in `n_sub`
+    subgroups of 2 sublane rows (128 voxels); each subgroup's onehot matmul
+    reads only a `wsub`-wide dynamic slice of the group window
+    (host-rebased rel), cutting the dominant onehot FLOPs 3-4x vs matching
+    the whole window. `wp` is per-GROUP (len K//GRP); `wsp` per-offset.
 
     CHANNEL PACKING (pack=p > 1): the wrapper reshapes the (V, c_slice)
     feature array to (V/p, 128) — p consecutive voxel rows share one
@@ -202,11 +232,12 @@ def _make_kernel(n_off: int, wp: tuple, wsp: tuple, n_sub: int,
     a (sub, LANE, K*128) VMEM scratch and ONE long matmul per block
     contracts all offsets at once against the (K*128, Cout) stacked
     weights — same passes, one MXU instruction stream."""
+    n_grp = n_off // GRP
 
     def kernel(bases_ref, sub_offs_ref, active_ref, *refs):
-        # refs: rel_0..rel_{K-1}, feat, weights, out, win_0..win_{K-1},
-        #       staging (acc or g_all), sem(K)
-        # bases/sub_offs arrive FLAT (nB*K / nB*nS*K) and PRE-DIVIDED by
+        # refs: rel_0..rel_{K-1}, feat, weights, out, win_0..win_{G-1},
+        #       staging (acc or g_all), sem(G)
+        # bases/sub_offs arrive FLAT (nB*G / nB*nS*K) and PRE-DIVIDED by
         # pack: SMEM pads the last dim of scalar-prefetch arrays to 128
         # lanes, so a (nB, nS, 27) table would blow the 1 MB SMEM budget at
         # production batch sizes.
@@ -214,20 +245,20 @@ def _make_kernel(n_off: int, wp: tuple, wsp: tuple, n_sub: int,
         feat_ref = refs[n_off]
         w_ref = refs[n_off + 1]
         out_ref = refs[n_off + 2]
-        wins = refs[n_off + 3 : n_off + 3 + n_off]
-        stage = refs[2 * n_off + 3]  # g_all when fuse else acc
-        sem = refs[2 * n_off + 4]
+        wins = refs[n_off + 3 : n_off + 3 + n_grp]
+        stage = refs[n_off + 3 + n_grp]  # g_all when fuse else acc
+        sem = refs[n_off + 4 + n_grp]
         kb = pl.program_id(0)
         lane_w = pack * c_slice  # 128 when packed; c_pad tile otherwise
 
-        def dma(o):
+        def dma(g):
             base = pl.multiple_of(
-                bases_ref[kb * n_off + o], 16
+                bases_ref[kb * n_grp + g], 16
             )  # host aligns bases to 16*pack; wrapper pre-divides by pack
             return pltpu.make_async_copy(
-                feat_ref.at[pl.ds(base, wp[o])],
-                wins[o],
-                sem.at[o],
+                feat_ref.at[pl.ds(base, wp[g])],
+                wins[g],
+                sem.at[g],
             )
 
         # Fully-padded blocks (all rel = -1) would compute exact zeros —
@@ -240,32 +271,36 @@ def _make_kernel(n_off: int, wp: tuple, wsp: tuple, n_sub: int,
         def soff(o, sg):
             return sub_offs_ref[(kb * n_sub + sg) * n_off + o]
 
-        def offset_active(o):
-            # Negative sub_offs = empty-subgroup sentinel; an offset with
-            # every subgroup empty contributes exact zeros -> skip its DMA.
-            acc = soff(o, 0) >= 0
-            for sg in range(1, n_sub):
-                acc = jnp.logical_or(acc, soff(o, sg) >= 0)
+        def group_active(g):
+            # Negative sub_offs = empty-subgroup sentinel; a group whose
+            # every (offset, subgroup) is empty contributes exact zeros ->
+            # skip its window DMA.
+            acc = soff(g * GRP, 0) >= 0
+            for o in range(g * GRP, (g + 1) * GRP):
+                for sg in range(n_sub):
+                    acc = jnp.logical_or(acc, soff(o, sg) >= 0)
             return acc
 
         @pl.when(active_ref[kb] != 0)
         def _():
-            for o in range(n_off):
+            for g in range(n_grp):
                 if pred:
-                    @pl.when(offset_active(o))
-                    def _(o=o):
-                        dma(o).start()
+                    @pl.when(group_active(g))
+                    def _(g=g):
+                        dma(g).start()
                 else:
-                    dma(o).start()
+                    dma(g).start()
             if not fuse:
                 stage[...] = jnp.zeros_like(stage)
             for o in range(n_off):
-                if pred:
-                    @pl.when(offset_active(o))
-                    def _(o=o):
-                        dma(o).wait()
-                else:
-                    dma(o).wait()
+                if o % GRP == 0:  # first offset of its group: window lands
+                    g = o // GRP
+                    if pred:
+                        @pl.when(group_active(g))
+                        def _(g=g):
+                            dma(g).wait()
+                    else:
+                        dma(g).wait()
                 rel = rels[o][0]  # (sub, LANE) int32
                 sub = rel.shape[0]
                 rows = sub // n_sub  # sublane rows per subgroup
@@ -284,7 +319,9 @@ def _make_kernel(n_off: int, wp: tuple, wsp: tuple, n_sub: int,
 
                     def _body(o=o, sg=sg, lo=lo, rows=rows, rel=rel, s=s):
                         off = pl.multiple_of(s, 16)
-                        wslice = wins[o][pl.ds(off, wsp[o]), :].astype(dtype)
+                        wslice = wins[o // GRP][
+                            pl.ds(off, wsp[o]), :
+                        ].astype(dtype)
                         rel_sg = rel[sg * rows : (sg + 1) * rows]
                         if pack == 1:
                             prel = rel_sg
@@ -368,9 +405,17 @@ def _pack_geometry(c: int, cout: int, features, weights, windows, wsubs,
     return c_slice, lane_w, wp, wsp, feat_view, w_lane
 
 
+def _group_windows(window, k: int) -> tuple:
+    """Broadcast `window` (int or (K//GRP,) per-group widths) to a tuple."""
+    return tuple(
+        int(w)
+        for w in np.broadcast_to(np.asarray(window), (k // GRP,))
+    )
+
+
 def subm_conv_pallas(
     features: jnp.ndarray,  # (V, C)
-    rulebook_bases: jnp.ndarray,  # (nB, K)
+    rulebook_bases: jnp.ndarray,  # (nB, K//GRP) group window bases
     rulebook_rel: jnp.ndarray,  # (K, V)
     weights: jnp.ndarray,  # (K, C, Cout)
     miss_idx: jnp.ndarray | None = None,  # (K, V) or None
@@ -386,14 +431,15 @@ def subm_conv_pallas(
 ) -> jnp.ndarray:
     """Fused two-level banded subm conv. Returns (V, Cout) fp32.
 
-    `window` (DMA) and `wsub` (onehot) are ints or (K,) per-offset widths —
-    must match what the host rulebook was built with. wsub=None means
-    SINGLE-LEVEL semantics (wsub = window): a rulebook built with
-    wsub=None has all-zero sub_offs (its clip limit is 0), so any caller-
-    provided sub_offs are ignored rather than applied against full-window
-    slices (which would run the window slice out of bounds and silently
-    corrupt outputs if the pack was actually built with a narrower
-    wsub).
+    `window` (DMA) is an int or (K//GRP,) per-GROUP widths — one shared
+    window per dx slab of 9 offsets; `wsub` (onehot) an int or (K,)
+    per-offset widths. Both must match what the host rulebook was built
+    with. wsub=None means SINGLE-LEVEL semantics (wsub = group window): a
+    rulebook built with wsub=None has all-zero sub_offs (its clip limit is
+    0), so any caller-provided sub_offs are ignored rather than applied
+    against full-window slices (which would run the window slice out of
+    bounds and silently corrupt outputs if the pack was actually built
+    with a narrower wsub).
 
     `pack_limit`: max channel-packing factor the HOST RULEBOOK's alignment
     permits (ModelConfig.level_pack_align // 16); the effective pack also
@@ -401,33 +447,32 @@ def subm_conv_pallas(
     auto) stages gathers in VMEM and runs one long output matmul per block
     — see _make_kernel.
 
-    `pred`: offset/subgroup-granular predication (skip DMAs and matmuls of
-    empty (block, offset) / (block, subgroup, offset) slots). Measured on a
-    91%-full 131k scene it COSTS ~75% (4.10 -> 7.32 ms fused: Mosaic
-    serialises around the per-offset pl.when regions), so it defaults OFF;
-    block-level `active` predication — the round-2 win that scales with
-    bucket padding — is always on. Keep the flag for A/B on sparser
-    distributions (scripts/bench_conv_kernel.py --pred)."""
+    `pred`: group/subgroup-granular predication (skip DMAs and matmuls of
+    empty (block, group) / (block, subgroup, offset) slots). Measured on a
+    91%-full 131k scene the r3 per-offset variant COST ~75% (4.10 -> 7.32
+    ms fused: Mosaic serialises around the pl.when regions), so it
+    defaults OFF; block-level `active` predication — the round-2 win that
+    scales with bucket padding — is always on. Keep the flag for A/B on
+    sparser distributions (scripts/bench_conv_kernel.py --pred)."""
     v, c = features.shape
     k = weights.shape[0]
-    windows = tuple(
-        int(w) for w in np.broadcast_to(np.asarray(window), (k,))
-    )
+    gwindows = _group_windows(window, k)
+    win_o = tuple(gwindows[o // GRP] for o in range(k))
     nb = rulebook_bases.shape[0]
     block = v // nb
     sub = block // _LANE
     ns = n_subgroups(block)
     if wsub is None:
-        wsubs = windows
+        wsubs = win_o
         sub_offs = None  # see docstring: single-level, offsets are zero
     else:
         wsubs = tuple(
-            min(int(w), windows[i])
+            min(int(w), win_o[i])
             for i, w in enumerate(np.broadcast_to(np.asarray(wsub), (k,)))
         )
     if sub_offs is None:
         sub_offs = jnp.zeros((nb, ns, k), jnp.int32)
-        wsubs = windows
+        wsubs = win_o
     if active is None:
         active = jnp.ones((nb,), jnp.int32)
     if not pred:
@@ -436,14 +481,14 @@ def subm_conv_pallas(
         # is correct).
         sub_offs = jnp.maximum(sub_offs, 0)
     cout = weights.shape[-1]
-    pack = choose_pack(c, windows, wsubs, pack_limit)
+    pack = choose_pack(c, gwindows, wsubs, pack_limit)
     # Kernel matmul dtype follows the features dtype: bf16 in production,
     # f32 for exact-parity tests / fp32 configs.
     kdtype = (
         jnp.float32 if features.dtype == jnp.float32 else jnp.bfloat16
     )
     c_slice, lane_w, wp, wsp, feat_view, w_lane = _pack_geometry(
-        c, cout, features, weights, windows, wsubs, pack
+        c, cout, features, weights, gwindows, wsubs, pack
     )
     if fuse is None:
         # The staged form needs lane_w == 128 (G scratch K*lane_w wide) and
@@ -481,7 +526,7 @@ def subm_conv_pallas(
                 if fuse
                 else pltpu.VMEM((sub, _LANE, cout), jnp.float32)
             ),
-            pltpu.SemaphoreType.DMA((k,)),
+            pltpu.SemaphoreType.DMA((k // GRP,)),
         ],
     )
     out = pl.pallas_call(
@@ -516,13 +561,11 @@ def _make_dw_burst_kernel(n_off: int, wp: tuple, wsp: tuple,
                           n_sub: int, dtype, pack: int, c_slice: int,
                           fuse: bool, pred: bool = True):
     """Weight-gradient kernel, BURST form mirroring the forward: grid (nB,),
-    all K window DMAs for a block in flight at once (per-offset STATIC
-    widths), the block's g read once, and dW accumulated in VMEM across the
-    whole grid (out block index is constant). This replaces the
-    offset-major (K, nB) variant, which re-fetched the g block K times and
-    paid the max-over-offsets window width for every offset. Per subgroup
-    (single-contraction matmuls — Mosaic's tpu.matmul rejects multi-dim
-    contractions on real hardware):
+    the K//GRP GROUP window DMAs for a block in flight at once (per-group
+    STATIC widths, shared by the group's 9 offsets), the block's g read
+    once, and dW accumulated in VMEM across the whole grid (out block index
+    is constant). Per subgroup (single-contraction matmuls — Mosaic's
+    tpu.matmul rejects multi-dim contractions on real hardware):
 
         a      = onehot_sg @ wslice      gathered features (fwd's matmul)
         dW[o] += a^T @ g_sg              (nvox, lane)^T x (nvox, Cout) MXU
@@ -532,29 +575,30 @@ def _make_dw_burst_kernel(n_off: int, wp: tuple, wsp: tuple,
     wrapper unpacks by summing the p channel-slices. fuse: the masked
     gathers for all offsets stage into a (block, K*lane) scratch and ONE
     long matmul per block contracts voxels for every offset at once."""
+    n_grp = n_off // GRP
 
     def kernel(bases_ref, sub_offs_ref, active_ref, *refs):
         # refs: rel_0..rel_{K-1} (cols), g, feat, dw_out,
-        #       win_0..win_{K-1}, [g_all], sem(K)
+        #       win_0..win_{G-1}, [g_all], sem(G)
         rels = refs[:n_off]
         g_ref = refs[n_off]
         feat_ref = refs[n_off + 1]
         dw_ref = refs[n_off + 2]
-        wins = refs[n_off + 3 : n_off + 3 + n_off]
+        wins = refs[n_off + 3 : n_off + 3 + n_grp]
         if fuse:
-            g_all = refs[2 * n_off + 3]
-            sem = refs[2 * n_off + 4]
+            g_all = refs[n_off + 3 + n_grp]
+            sem = refs[n_off + 4 + n_grp]
         else:
-            sem = refs[2 * n_off + 3]
+            sem = refs[n_off + 3 + n_grp]
         kb = pl.program_id(0)
         lane_w = pack * c_slice
 
-        def dma(o):
-            base = pl.multiple_of(bases_ref[kb * n_off + o], 16)
+        def dma(g):
+            base = pl.multiple_of(bases_ref[kb * n_grp + g], 16)
             return pltpu.make_async_copy(
-                feat_ref.at[pl.ds(base, wp[o])],
-                wins[o],
-                sem.at[o],
+                feat_ref.at[pl.ds(base, wp[g])],
+                wins[g],
+                sem.at[g],
             )
 
         @pl.when(kb == 0)
@@ -564,32 +608,35 @@ def _make_dw_burst_kernel(n_off: int, wp: tuple, wsp: tuple,
         def soff(o, sg):
             return sub_offs_ref[(kb * n_sub + sg) * n_off + o]
 
-        def offset_active(o):
-            acc = soff(o, 0) >= 0
-            for sg in range(1, n_sub):
-                acc = jnp.logical_or(acc, soff(o, sg) >= 0)
+        def group_active(g):
+            acc = soff(g * GRP, 0) >= 0
+            for o in range(g * GRP, (g + 1) * GRP):
+                for sg in range(n_sub):
+                    acc = jnp.logical_or(acc, soff(o, sg) >= 0)
             return acc
 
         # Fully-padded blocks contribute exact zeros — skip entirely.
         @pl.when(active_ref[kb] != 0)
         def _():
-            for o in range(n_off):
+            for gi in range(n_grp):
                 if pred:
-                    @pl.when(offset_active(o))
-                    def _(o=o):
-                        dma(o).start()
+                    @pl.when(group_active(gi))
+                    def _(gi=gi):
+                        dma(gi).start()
                 else:
-                    dma(o).start()
+                    dma(gi).start()
             g = g_ref[0]  # (sub, LANE, Cout): LANE voxels on sublanes
             sub = g.shape[0]
             rows = sub // n_sub  # sublane rows per subgroup
             for o in range(n_off):
-                if pred:
-                    @pl.when(offset_active(o))
-                    def _(o=o):
-                        dma(o).wait()
-                else:
-                    dma(o).wait()
+                if o % GRP == 0:  # first offset of its group: window lands
+                    gi = o // GRP
+                    if pred:
+                        @pl.when(group_active(gi))
+                        def _(gi=gi):
+                            dma(gi).wait()
+                    else:
+                        dma(gi).wait()
                 rel = rels[o][0]  # (sub, LANE) int32
                 for sg in range(n_sub):
                     nvox = rows * _LANE
@@ -606,7 +653,9 @@ def _make_dw_burst_kernel(n_off: int, wp: tuple, wsp: tuple,
                     def _body(o=o, sg=sg, lo=lo, nvox=nvox, rel=rel, s=s,
                               rows=rows, g=g):
                         off = pl.multiple_of(s, 16)
-                        wslice = wins[o][pl.ds(off, wsp[o]), :].astype(dtype)
+                        wslice = wins[o // GRP][
+                            pl.ds(off, wsp[o]), :
+                        ].astype(dtype)
                         rel_sg = rel[sg * rows : (sg + 1) * rows]
                         if pack == 1:
                             prel = rel_sg
@@ -675,7 +724,7 @@ def _make_dw_burst_kernel(n_off: int, wp: tuple, wsp: tuple,
 def subm_conv_dw_pallas(
     features: jnp.ndarray,  # (V, C)
     grad_out: jnp.ndarray,  # (V, Cout)
-    rulebook_bases: jnp.ndarray,  # (nB, K)
+    rulebook_bases: jnp.ndarray,  # (nB, K//GRP) group window bases
     rulebook_rel: jnp.ndarray,  # (K, V)
     k: int,
     window=WINDOW,
@@ -689,40 +738,40 @@ def subm_conv_dw_pallas(
 ) -> jnp.ndarray:
     """Banded weight gradient: dW[o] = sum_i feat[nbr(i,o)]^T grad[i].
     Returns (K, C, Cout) fp32 (un-padded). Burst form: see
-    _make_dw_burst_kernel. wsub=None means single-level semantics —
-    caller sub_offs are ignored (see subm_conv_pallas docstring).
-    pack_limit / fuse: see subm_conv_pallas."""
+    _make_dw_burst_kernel. `window` is per-GROUP (int or (K//GRP,)), `wsub`
+    per-offset; wsub=None means single-level semantics — caller sub_offs
+    are ignored (see subm_conv_pallas docstring). pack_limit / fuse: see
+    subm_conv_pallas."""
     v, c = features.shape
     cout = grad_out.shape[-1]
     nb = rulebook_bases.shape[0]
     block = v // nb
     ns = n_subgroups(block)
-    windows = tuple(
-        int(w) for w in np.broadcast_to(np.asarray(window), (k,))
-    )
+    gwindows = _group_windows(window, k)
+    win_o = tuple(gwindows[o // GRP] for o in range(k))
     if wsub is None:
-        wsubs = windows
+        wsubs = win_o
         sub_offs = None
     else:
         wsubs = tuple(
-            min(int(w), windows[i])
+            min(int(w), win_o[i])
             for i, w in enumerate(np.broadcast_to(np.asarray(wsub), (k,)))
         )
     if sub_offs is None:
         sub_offs = jnp.zeros((nb, ns, k), jnp.int32)
-        wsubs = windows
+        wsubs = win_o
     if active is None:
         active = jnp.ones((nb,), jnp.int32)
     if not pred:
         sub_offs = jnp.maximum(sub_offs, 0)  # see subm_conv_pallas
     sub = block // _LANE
-    pack = choose_pack(c, windows, wsubs, pack_limit)
+    pack = choose_pack(c, gwindows, wsubs, pack_limit)
     kdtype = (
         jnp.float32 if features.dtype == jnp.float32 else jnp.bfloat16
     )
     c_slice, lane_w, wp, wsp, feat_view, _ = _pack_geometry(
         c, cout, features, jnp.zeros((k, c, cout), features.dtype),
-        windows, wsubs, pack,
+        gwindows, wsubs, pack,
     )
     if fuse is None:
         fuse = kdtype == jnp.bfloat16 and lane_w == 128
@@ -761,7 +810,7 @@ def subm_conv_dw_pallas(
                 if fuse
                 else []
             ),
-            pltpu.SemaphoreType.DMA((k,)),
+            pltpu.SemaphoreType.DMA((k // GRP,)),
         ],
     )
     dw = pl.pallas_call(
