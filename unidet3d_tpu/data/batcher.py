@@ -126,12 +126,15 @@ def collate(
     return batch, gt, pack
 
 
-def _build_one_pack(vox_src, valid, cfg: ModelConfig):
+def _build_one_pack(vox_src, valid, cfg: ModelConfig,
+                    num_threads: int | None = None):
     """GridPack (+ BandedPack when subm_impl='pallas') for one scene group."""
     b = vox_src.shape[0]
     caps = list(cfg.level_capacities(b))
     bxyz = quantize_points(vox_src, valid)
-    pack, _ = build_gridpack_host(bxyz, valid.reshape(-1), caps)
+    pack, _ = build_gridpack_host(
+        bxyz, valid.reshape(-1), caps, num_threads=num_threads
+    )
     # Capacity-overflow telemetry: valid points whose level-0 voxel was
     # dropped, and valid voxels whose downsample parent overflowed.
     DROPS.add(
@@ -156,12 +159,14 @@ def _build_one_pack(vox_src, valid, cfg: ModelConfig):
             # intra-scene drift), so the compact-correction capacity
             # scales with the scene count of this shard group.
             miss_cap=cfg.conv_miss_cap * b,
+            num_threads=num_threads,
         )
         pack = pack._replace(banded=banded)
     return pack
 
 
-def build_packs(vox_src, valid, cfg: ModelConfig, n_shards: int = 1):
+def build_packs(vox_src, valid, cfg: ModelConfig, n_shards: int = 1,
+                num_threads: int | None = None):
     """Host rulebooks for a (B, P, ...) batch.
 
     n_shards == 1: a flat GridPack over the whole batch (single-device /
@@ -171,18 +176,33 @@ def build_packs(vox_src, valid, cfg: ModelConfig, n_shards: int = 1):
     leading axis that shard_map shards with P('data'). Each device unwraps
     its slice and feeds the flat pack to the local model, so rulebook
     indices never cross device boundaries.
+
+    `num_threads` (None = all cores, capped at 16) spreads BOTH the native
+    builders' internal pfor and, for n_shards > 1, the per-shard-group
+    builds across a thread pool (the C++ releases the GIL).
     """
     b = vox_src.shape[0]
     if n_shards == 1:
-        return _build_one_pack(vox_src, valid, cfg)
+        return _build_one_pack(vox_src, valid, cfg, num_threads)
     assert b % n_shards == 0, (b, n_shards)
     bl = b // n_shards
-    packs = [
-        _build_one_pack(
-            vox_src[i * bl : (i + 1) * bl], valid[i * bl : (i + 1) * bl], cfg
+
+    def one(i):
+        return _build_one_pack(
+            vox_src[i * bl : (i + 1) * bl], valid[i * bl : (i + 1) * bl],
+            cfg, num_threads,
         )
-        for i in range(n_shards)
-    ]
+
+    import os as _os
+
+    workers = min(n_shards, num_threads or _os.cpu_count() or 1)
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(workers) as ex:
+            packs = list(ex.map(one, range(n_shards)))
+    else:
+        packs = [one(i) for i in range(n_shards)]
     import jax
 
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *packs)
