@@ -7,6 +7,7 @@ fully overlapped, which is the point of the host-rulebook design.
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Iterator
@@ -37,9 +38,14 @@ class TrainLoader:
         batch_size: int,
         seed: int = 0,
         prefetch: int = 2,
-        num_threads: int = 2,
+        num_threads: int | None = None,
         n_shards: int = 1,
     ):
+        if num_threads is None:
+            # One batch of bs8 rulebook work is ~1 s on one core; scale
+            # workers with the host so the device never waits (capped — the
+            # native builders already pfor across cores within one batch).
+            num_threads = max(2, min(os.cpu_count() or 1, 8))
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = batch_size
@@ -171,16 +177,21 @@ class EvalLoader:
 
     def __init__(self, dataset, cfg: ModelConfig, batch_size: int,
                  n_shards: int = 1, prefetch: int = 2,
-                 buckets: tuple | None = None, sort_by_size: bool = True):
+                 buckets: tuple | None = None, sort_by_size: bool = True,
+                 shard_idx: int = 0, shard_count: int = 1):
         assert batch_size % n_shards == 0, (batch_size, n_shards)
+        assert 0 <= shard_idx < shard_count, (shard_idx, shard_count)
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = batch_size
         self.n_shards = n_shards
         self.buckets = capacity_buckets(cfg) if buckets is None else buckets
-        self._order = self._scene_order(sort_by_size)
+        # Multi-process eval: each process takes a stride of the (sorted)
+        # order — disjoint, jointly exhaustive scene shards; the metric
+        # all-gathers results across processes (train/metric.py).
+        self._order = self._scene_order(sort_by_size)[shard_idx::shard_count]
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
-        self._n_groups = -(-len(dataset) // batch_size)
+        self._n_groups = -(-len(self._order) // batch_size)
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -241,7 +252,7 @@ class EvalLoader:
         return self.cfg
 
     def _worker(self):
-        n = len(self.dataset)
+        n = len(self._order)
         try:
             for g in range(self._n_groups):
                 lo = g * self.batch_size

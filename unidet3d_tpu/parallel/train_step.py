@@ -29,24 +29,17 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def create_mesh(n_devices: int | None = None) -> Mesh:
-    devs = jax.devices()
+def create_mesh(n_devices: int | None = None, local: bool = False) -> Mesh:
+    """One `data` axis over all global devices (training), or over this
+    process's local devices (`local=True` — eval, whose data-dependent
+    capacity bucketing cannot be a cross-process program; see
+    parallel/distributed.py)."""
+    devs = jax.local_devices() if local else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     import numpy as np
 
     return Mesh(np.array(devs), axis_names=("data",))
-
-
-def replicate(tree, mesh: Mesh):
-    """Place every leaf replicated across the mesh (needed after checkpoint
-    restore, which lands arrays on a single device)."""
-    from jax.sharding import NamedSharding
-
-    sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), tree
-    )
 
 
 def init_state(model, cfg: ModelConfig, optimizer, example_batch, rng):

@@ -22,6 +22,10 @@ def main():
 
     logging.basicConfig(level=logging.INFO)
 
+    from ..parallel.distributed import maybe_initialize
+
+    maybe_initialize()  # multi-host eval: strided shards + metric gather
+
     import jax
 
     from ..core.experiment import apply_overrides, load_experiment

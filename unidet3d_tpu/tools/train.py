@@ -27,6 +27,14 @@ def main():
         format="%(asctime)s %(levelname)s %(message)s",
     )
 
+    # Multi-host launch (reference: mmengine DDP launchers,
+    # tools/train.py:48-60): set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES
+    # / JAX_PROCESS_ID per host, or JAX_AUTO_DISTRIBUTED=1 on TPU pods —
+    # see parallel/distributed.py for the recipe. No-op on one host.
+    from ..parallel.distributed import maybe_initialize
+
+    maybe_initialize()
+
     from ..core.experiment import apply_overrides, load_experiment
     from ..train.loop import train
 

@@ -23,13 +23,18 @@ from ..data.loader import EvalLoader, TrainLoader
 from ..data.pipelines import test_pipeline, train_pipeline
 from ..models.detector import UniDet3DTPU
 from ..models.postprocess import predict_batch
+from ..parallel.distributed import (
+    is_primary,
+    local_batch_size,
+    local_to_global,
+    replicate_global,
+)
 from ..parallel.train_step import (
     TrainState,
     create_mesh,
     init_state,
     make_eval_step,
     make_train_step,
-    replicate,
 )
 from ..train.checkpoint import CheckpointManager, merge_by_prefix, restore_params
 from ..train.metric import IndoorMetric
@@ -91,6 +96,13 @@ def train(exp: ExperimentConfig, resume: str | None = None):
     assert exp.batch_size % n_dev == 0, (
         f"batch_size {exp.batch_size} must divide over {n_dev} devices"
     )
+    # Multi-process SPMD (parallel/distributed.py): every process runs this
+    # same loop over the GLOBAL mesh; each loads only its slice of the
+    # global batch, disjoint via a process-folded loader seed (the
+    # reference's random-draw sampler needs no cross-rank coordination).
+    local_bs = local_batch_size(exp.batch_size)
+    n_local = jax.local_device_count()
+    assert local_bs % n_local == 0, (local_bs, n_local)
     train_sets = build_datasets(exp, "train")
     assert train_sets, "no training datasets configured"
     concat = ConcatDataset(train_sets)
@@ -109,8 +121,9 @@ def train(exp: ExperimentConfig, resume: str | None = None):
         clip_norm=exp.clip_norm,
     )
     loader = TrainLoader(
-        concat, exp.model, exp.batch_size, seed=exp.seed,
-        n_shards=n_dev,
+        concat, exp.model, local_bs,
+        seed=exp.seed + 7919 * jax.process_index(),
+        n_shards=n_local,
     )
 
     # Init from one prefetched batch.
@@ -135,7 +148,7 @@ def train(exp: ExperimentConfig, resume: str | None = None):
         if restored is not None:
             state = TrainState(*restored)
             log.info("resumed from step %d", int(state.step))
-    state = replicate(state, mesh)
+    state = replicate_global(mesh, state)
 
     step_fn = make_train_step(model, exp.model, optimizer, mesh)
     val_epochs = _val_epochs(exp)
@@ -152,13 +165,16 @@ def train(exp: ExperimentConfig, resume: str | None = None):
         losses = []
         for it in range(1, exp.steps_per_epoch + 1):
             batch_np, gt_np, pack_np = next(loader)
-            batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
-            gt = jax.tree_util.tree_map(jnp.asarray, gt_np)
-            pack = jax.tree_util.tree_map(jnp.asarray, pack_np)
+            # Per-process local slices -> global mesh-sharded arrays
+            # (single-process: a plain device transfer).
+            batch, gt, pack = local_to_global(
+                mesh, (batch_np, gt_np, pack_np)
+            )
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, batch, gt, pack, sub)
             losses.append(metrics["loss"])
-            if it % exp.log_interval == 0 or it == exp.steps_per_epoch:
+            if (it % exp.log_interval == 0 or it == exp.steps_per_epoch
+                    ) and is_primary():
                 # One host sync per interval (losses stay device-side
                 # between intervals so steps pipeline freely).
                 loss = float(losses[-1])
@@ -185,12 +201,15 @@ def train(exp: ExperimentConfig, resume: str | None = None):
                     )
         mean_loss = float(jnp.mean(jnp.stack(losses)))
         dt = time.time() - t0
-        log.info(
-            "epoch %d/%d loss %.4f (%.1f s, %.2f scenes/s)",
-            epoch, exp.epochs, mean_loss, dt,
-            exp.steps_per_epoch * exp.batch_size / dt,
-        )
-        if epoch % exp.ckpt_interval_epochs == 0:
+        if is_primary():
+            log.info(
+                "epoch %d/%d loss %.4f (%.1f s, %.2f scenes/s)",
+                epoch, exp.epochs, mean_loss, dt,
+                exp.steps_per_epoch * exp.batch_size / dt,
+            )
+        if epoch % exp.ckpt_interval_epochs == 0 and is_primary():
+            # Rank-0 write, every process restores the same file (shared
+            # filesystem — the reference's torch.save convention).
             mngr.save(int(state.step), state)
         if epoch in val_epochs:
             results = evaluate(exp, state, model, table)
@@ -220,8 +239,20 @@ def evaluate(exp: ExperimentConfig, state, model=None, table=None,
         model, table = build_model(exp)
     cfg = exp.model
     metric = IndoorMetric(cfg, exp.datasets_classes)
-    mesh = create_mesh()
+    # Eval uses a PROCESS-LOCAL mesh: capacity bucketing picks a compiled
+    # step from each group's actual sizes — a data-dependent choice that
+    # would deadlock a global-mesh program when processes hold different
+    # scenes. Each process evaluates a strided shard of every dataset; the
+    # metric all-gathers before compute() (parallel/distributed.py).
+    mesh = create_mesh(local=True)
     n_dev = mesh.devices.size
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        # Pull the (fully-replicated) global state to host once so the
+        # local-mesh jit can consume it without cross-mesh resharding.
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x)), state
+        )
     eval_bs = exp.eval_batch_size or 4 * n_dev
     assert eval_bs % n_dev == 0, (eval_bs, n_dev)
 
@@ -245,7 +276,10 @@ def evaluate(exp: ExperimentConfig, state, model=None, table=None,
     t0 = time.time()
     for ds in build_datasets(exp, "val"):
         didx = ds.dataset_idx
-        loader = EvalLoader(ds, cfg, eval_bs, n_shards=n_dev)
+        loader = EvalLoader(
+            ds, cfg, eval_bs, n_shards=n_dev,
+            shard_idx=jax.process_index(), shard_count=n_proc,
+        )
         scene_base = 0
         for samples, batch_np, gt_np, pack_np, n_real, cfg_b in loader:
             batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
