@@ -145,6 +145,14 @@ def _scene_mix(n_scenes: int, seed: int = 7):
     return np.clip(counts, 24_000, 131_072).astype(np.int64)
 
 
+def _scene_sp_count(cfg, n_points: int) -> int:
+    """ScanNet-like superpoint count for a synthetic scene: FH mesh
+    segmentation yields roughly one superpoint per ~45 points (1k-3k for
+    real val scans); eval makes every superpoint a query, so this drives
+    the decoder cost the same way real data does."""
+    return int(np.clip(n_points // 45, 256, cfg.max_superpoints))
+
+
 def _make_group_inputs(cfg_b, n_points_list, seed0):
     """PointBatch (numpy) of len(n_points_list) scenes padded to cfg_b caps."""
     from unidet3d_tpu.data.synthetic import synthetic_scene
@@ -156,11 +164,14 @@ def _make_group_inputs(cfg_b, n_points_list, seed0):
     pts = np.zeros((b, p, 3), np.float32)
     colors = np.zeros((b, p, 3), np.float32)
     valid = np.zeros((b, p), bool)
+    sp_ids = np.zeros((b, p), np.int32)
     for i, n in enumerate(n_points_list):
         sc = synthetic_scene(int(n), seed=seed0 * 1000 + i)
         pts[i, : len(sc)] = sc[:, :3]
         colors[i, : len(sc)] = sc[:, 3:6]
         valid[i, : len(sc)] = True
+        n_sp = min(_scene_sp_count(cfg_b, int(n)), cfg_b.max_superpoints)
+        sp_ids[i, : len(sc)] = rng.randint(0, n_sp, size=len(sc))
     mean = np.where(valid[..., None], pts, 0).sum(1, keepdims=True) / np.maximum(
         valid.sum(1)[:, None, None], 1
     )
@@ -170,25 +181,33 @@ def _make_group_inputs(cfg_b, n_points_list, seed0):
         vox_src=(pts / cfg_b.voxel_size).astype(np.float32),
         features=feats.astype(np.float32),
         valid=valid,
-        sp_ids=rng.randint(
-            0, cfg_b.max_superpoints, size=(b, p)
-        ).astype(np.int32),
+        sp_ids=sp_ids,
         dataset_ids=rng.randint(0, 6, size=(b,)).astype(np.int32),
     )
 
 
 def _bucket_for(cfg, n_points_group):
-    """Smallest capacity bucket covering the group's largest scene."""
-    from unidet3d_tpu.data.loader import capacity_buckets
+    """Smallest capacity bucket covering the group's largest scene, with
+    the superpoint (query) capacity bucketed from the group's realistic
+    superpoint counts — mirrors EvalLoader._bucket_cfg."""
+    from unidet3d_tpu.data.loader import capacity_buckets, superpoint_buckets
 
+    out = cfg
     need = int(max(n_points_group))
     for cap in capacity_buckets(cfg):
         if need <= cap:
-            return dataclasses.replace(
+            out = dataclasses.replace(
                 cfg, max_points=cap,
                 voxel_capacity=min(cap, cfg.voxel_capacity),
             )
-    return cfg
+            break
+    need_sp = max(_scene_sp_count(cfg, int(n)) for n in n_points_group)
+    for rung in superpoint_buckets(cfg):
+        if need_sp <= rung:
+            if rung < out.max_superpoints:
+                out = dataclasses.replace(out, max_superpoints=rung)
+            break
+    return out
 
 
 def _bench_batched_eval(cfg, variables, batch_size=4, n_scenes=24):
@@ -224,7 +243,7 @@ def _bench_batched_eval(cfg, variables, batch_size=4, n_scenes=24):
         packs = jax.tree_util.tree_map(
             lambda x: jnp.asarray(np.asarray(x)[None]), packs_np
         )
-        key = cfg_b.max_points
+        key = (cfg_b.max_points, cfg_b.max_superpoints)
         if key not in steps:
             steps[key] = make_eval_step(ge._build(cfg_b), cfg_b)
         step = steps[key]
@@ -240,7 +259,7 @@ def _bench_batched_eval(cfg, variables, batch_size=4, n_scenes=24):
             best = min(best, time.perf_counter() - t0)
         total_scenes += len(grp)
         total_time += best
-        bk = f"bucket_{key}"
+        bk = f"bucket_{key[0]}_sp{key[1]}"
         agg = per_bucket.setdefault(bk, [0, 0.0])
         agg[0] += len(grp)
         agg[1] += best

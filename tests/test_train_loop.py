@@ -194,6 +194,47 @@ def test_bucket_cfg_picks_intermediate_rungs():
     assert cfg_b.max_points == 98304
 
 
+def test_bucket_cfg_compacts_superpoints():
+    """The superpoint (query) capacity buckets independently from each
+    scene's true superpoint count: eval makes every superpoint a query, so
+    padding to the global cap costs a fixed decoder tax the rung avoids.
+    A rung never folds a real superpoint (that would change predictions)."""
+    from unidet3d_tpu.data.loader import (
+        EvalLoader, capacity_buckets, superpoint_buckets,
+    )
+
+    cfg = small_config(max_points=131072, voxel_capacity=131072,
+                       max_superpoints=3072)
+    assert superpoint_buckets(cfg) == (1024, 2048, 3072)
+    dummy = type(
+        "L", (),
+        {"cfg": cfg, "buckets": capacity_buckets(cfg),
+         "_scene_level_needs": EvalLoader._scene_level_needs},
+    )()
+    rng = np.random.RandomState(0)
+
+    def sample(n, n_sp):
+        pts = rng.rand(n, 3).astype(np.float32) * [4.0, 4.0, 0.2]
+        return {"points": pts,
+                "sp_pts_mask": rng.randint(0, n_sp, size=n)}
+
+    # 700 superpoints -> the 1024 rung, not the 3072 cap.
+    cfg_b = EvalLoader._bucket_cfg(dummy, [sample(40_000, 700)])
+    assert cfg_b.max_superpoints == 1024
+    # 1500 -> 2048 rung.
+    cfg_b = EvalLoader._bucket_cfg(dummy, [sample(40_000, 1500)])
+    assert cfg_b.max_superpoints == 2048
+    # Group rung covers the LARGEST scene's superpoint count.
+    cfg_b = EvalLoader._bucket_cfg(
+        dummy, [sample(40_000, 700), sample(40_000, 2500)]
+    )
+    assert cfg_b.max_superpoints == 3072
+    # No sp masks in the group: collate leaves sp_ids at 0, so the
+    # smallest rung covers it.
+    cfg_b = EvalLoader._bucket_cfg(dummy, [{"points": sample(1000, 1)["points"]}])
+    assert cfg_b.max_superpoints == 1024
+
+
 def test_eval_loader_sorts_scenes_by_size(tmp_path):
     """Scenes are grouped in descending size order so mixed-size datasets
     don't pad small scenes up to the largest scene's bucket."""

@@ -152,6 +152,23 @@ def capacity_buckets(cfg: ModelConfig) -> tuple:
     )
 
 
+def superpoint_buckets(cfg: ModelConfig) -> tuple:
+    """Eval SUPERPOINT (query) padding rungs: multiples of 1024 up to the
+    configured cap. At eval every superpoint is a query (ref unidet3d.py
+    predict: no subsampling), so the decoder's attention/FFN/head cost
+    scales with the PADDED superpoint capacity — a fixed ~18 ms at S=3072
+    regardless of the scene's real count. Compacting to the smallest rung
+    covering the group's true superpoint count cuts that (and the segment
+    pooling + postprocess shapes) for small/medium scenes. 1024-granular
+    rungs keep the compiled-step count bounded (one compile per (point
+    bucket, sp bucket) pair actually seen); every rung is a 512 multiple so
+    the flash-attention path stays eligible."""
+    full = cfg.max_superpoints
+    rungs = {min(r, full) for r in range(1024, full + 1024, 1024)}
+    rungs.add(full)
+    return tuple(sorted(rungs))
+
+
 class EvalLoader:
     """Batched eval prefetcher: iterates one dataset's scenes in order in
     groups of `batch_size`, collating + building host rulebooks on a
@@ -227,9 +244,13 @@ class EvalLoader:
         """Smallest bucket whose PER-LEVEL capacities cover the group —
         checked against actual (quantized) voxel counts, because coarse
         levels compress less than 2x per level on sparse scans and a
-        point-count heuristic could silently drop their voxels."""
+        point-count heuristic could silently drop their voxels. The
+        superpoint capacity is bucketed independently (superpoint_buckets)
+        from each scene's true superpoint count — folding a real superpoint
+        would change predictions, so the rung always covers the group."""
         import dataclasses
 
+        cfg_b = self.cfg
         need_pts = max(len(s["points"]) for s in samples)
         need_vox = np.max(
             np.stack([self._scene_level_needs(s) for s in samples]), axis=0
@@ -237,19 +258,32 @@ class EvalLoader:
         for cap in self.buckets:
             if cap >= self.cfg.max_points:
                 break
-            cfg_b = dataclasses.replace(
+            cfg_c = dataclasses.replace(
                 self.cfg,
                 max_points=cap,
                 # Never exceed the configured voxel cap (deployments may
                 # shrink it below max_points for memory).
                 voxel_capacity=min(cap, self.cfg.voxel_capacity),
             )
-            per_scene_caps = cfg_b.level_capacities(1)
+            per_scene_caps = cfg_c.level_capacities(1)
             if need_pts <= cap and all(
                 n <= c for n, c in zip(need_vox, per_scene_caps)
             ):
-                return cfg_b
-        return self.cfg
+                cfg_b = cfg_c
+                break
+
+        need_sp = 0
+        for s in samples:
+            sp = s.get("sp_pts_mask")
+            if sp is None or len(sp) == 0:
+                continue
+            need_sp = max(need_sp, int(np.max(sp)) + 1)
+        for rung in superpoint_buckets(self.cfg):
+            if need_sp <= rung:
+                if rung < cfg_b.max_superpoints:
+                    cfg_b = dataclasses.replace(cfg_b, max_superpoints=rung)
+                break
+        return cfg_b
 
     def _worker(self):
         n = len(self._order)

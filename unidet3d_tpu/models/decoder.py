@@ -211,28 +211,33 @@ class UniDecoder(nn.Module):
         scene_valid = scene_gather >= 0
         rotated = angles_t[dataset_ids]  # (B,)
 
-        out_norm = nn.LayerNorm(name="out_norm")
-        cls_fc1 = nn.Dense(self.d_model, name="cls_fc1")
-        cls_fc2 = nn.Dense(num_unified, name="cls_fc2")
-        box_fc = nn.Dense(8, name="box_fc")
+        # Head matmuls run in the decoder compute dtype (bf16 in
+        # production); logits and box params are cast back to f32 BEFORE
+        # the where/exp/decode so masking constants and box sizes keep full
+        # precision. fp32 configs (golden-parity tests) are unchanged.
+        out_norm = nn.LayerNorm(name="out_norm", dtype=self.dtype)
+        cls_fc1 = nn.Dense(self.d_model, name="cls_fc1", dtype=self.dtype)
+        cls_fc2 = nn.Dense(num_unified, name="cls_fc2", dtype=self.dtype)
+        box_fc = nn.Dense(8, name="box_fc", dtype=self.dtype)
 
         def head(feats):
-            h = out_norm(feats)
-            cls_all = cls_fc2(nn.relu(cls_fc1(h)))  # (B, Q, U+1)
+            h = out_norm(feats.astype(self.dtype))
+            cls_all = cls_fc2(nn.relu(cls_fc1(h))).astype(jnp.float32)
             idx = jnp.clip(scene_gather, 0)[:, None, :]  # (B, 1, NCmax+1)
             idx = jnp.broadcast_to(
                 idx, (cls_all.shape[0], cls_all.shape[1], idx.shape[-1])
             )
             cls_sel = jnp.take_along_axis(cls_all, idx, axis=-1)
             cls_sel = jnp.where(scene_valid[:, None, :], cls_sel, NEG_INF)
-            bp = box_fc(h)  # (B, Q, 8)
+            bp = box_fc(h).astype(jnp.float32)  # (B, Q, 8)
             bp = jnp.concatenate([jnp.exp(bp[..., :6]), bp[..., 6:]], axis=-1)
             boxes = decode_boxes(sp_centers, bp, rotated)
             return cls_sel, boxes
 
-        x = nn.Dense(self.d_model, name="proj_fc1")(queries)
+        x = nn.Dense(self.d_model, name="proj_fc1", dtype=self.dtype)(queries)
         x = nn.relu(x)
-        x = nn.Dense(self.d_model, name="proj_fc2")(x)
+        x = nn.Dense(self.d_model, name="proj_fc2", dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)
 
         attn_cls = (
             nn.remat(SelfAttentionLayer, static_argnums=(3,))

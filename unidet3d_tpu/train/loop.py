@@ -262,7 +262,7 @@ def evaluate(exp: ExperimentConfig, state, model=None, table=None,
     _steps = {}
 
     def fwd_for(cfg_b):
-        key = cfg_b.max_points
+        key = (cfg_b.max_points, cfg_b.max_superpoints)
         if key not in _steps:
             model_b = (
                 model
