@@ -46,6 +46,9 @@ class ExperimentConfig:
     # value overrides (fixed-length epochs).
     steps_per_epoch: int = 0
     lr: float = 2e-4
+    # Denominator for tools/train.py --auto-scale-lr (linear scaling rule):
+    # the reference recipe's 1 GPU x batch 8 (configs/*_1xb8_*.py:583).
+    base_batch_size: int = 8
     weight_decay: float = 0.05
     lr_power: float = 0.9
     clip_norm: float = 10.0

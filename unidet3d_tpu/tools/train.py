@@ -3,6 +3,13 @@
 Mirror of reference tools/train.py UX:
   python -m unidet3d_tpu.tools.train <config.py> [--work-dir D]
       [--resume [auto|STEP]] [--cfg-options key=val ...]
+      [--precision bf16|fp32] [--auto-scale-lr]
+
+Precision note (the reference's --amp analog, tools/train.py:32-36): mixed
+precision is ON by default here — the backbone/decoder compute dtype is
+bfloat16 (ModelConfig.compute_dtype) with fp32 accumulation, which is the
+TPU-native equivalent of torch AMP. `--precision fp32` turns it OFF for
+debugging/parity runs instead of a flag turning it on.
 """
 from __future__ import annotations
 
@@ -20,6 +27,17 @@ def main():
         help="resume from latest ('auto') or a specific step",
     )
     ap.add_argument("--cfg-options", nargs="*", default=[])
+    ap.add_argument(
+        "--precision", choices=("bf16", "fp32"), default=None,
+        help="compute dtype for backbone/decoder matmuls (default: the "
+        "config's compute_dtype, bf16 in production — the TPU-native "
+        "always-on analog of the reference's --amp; fp32 disables it)",
+    )
+    ap.add_argument(
+        "--auto-scale-lr", action="store_true",
+        help="linearly scale the configured lr by global batch_size / "
+        "base_batch_size (reference tools/train.py:37-47 semantics)",
+    )
     args = ap.parse_args()
 
     logging.basicConfig(
@@ -42,6 +60,18 @@ def main():
     exp = apply_overrides(exp, args.cfg_options)
     if args.work_dir:
         exp = dataclasses.replace(exp, work_dir=args.work_dir)
+    if args.precision:
+        dtype = "bfloat16" if args.precision == "bf16" else "float32"
+        exp = dataclasses.replace(
+            exp, model=dataclasses.replace(exp.model, compute_dtype=dtype)
+        )
+    if args.auto_scale_lr:
+        scale = exp.batch_size / exp.base_batch_size
+        logging.getLogger("unidet3d_tpu").info(
+            "auto-scale-lr: %g -> %g (batch %d / base %d)",
+            exp.lr, exp.lr * scale, exp.batch_size, exp.base_batch_size,
+        )
+        exp = dataclasses.replace(exp, lr=exp.lr * scale)
     train(exp, resume=args.resume)
 
 
