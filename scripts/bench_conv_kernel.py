@@ -8,7 +8,11 @@ XLA gather form. One TPU process at a time (relay constraint).
 Usage: python scripts/bench_conv_kernel.py [--cap 131072] [--cin 32 64]
 """
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -66,6 +70,8 @@ def main():
                     help="predication variants to sweep (0/1)")
     ap.add_argument("--fuse", type=int, nargs="+", default=[0, 1])
     ap.add_argument("--aligns", type=int, nargs="+", default=[16, 32, 64])
+    ap.add_argument("--pipeline", type=int, nargs="+", default=[1],
+                    help="cross-block DMA double-buffering variants (0/1)")
     ap.add_argument("--wsub", type=int, default=None,
                     help="override y/z/center subgroup onehot width")
     ap.add_argument("--wsub-x", type=int, default=None,
@@ -142,13 +148,15 @@ def main():
             ml = MissList(rows=two(mr_), nbrs=two(mn_), offs=two(mo_))
             for fuse in [bool(f) for f in args.fuse]:
               for pred in [bool(x) for x in args.pred]:
+               for pipe in [bool(x) for x in args.pipeline]:
                 def bare(f, wt, bs=jnp.asarray(bs), so=jnp.asarray(so),
                          rl=jnp.asarray(rl), ac=jnp.asarray(ac), fuse=fuse,
-                         align=align, pred=pred):
+                         align=align, pred=pred, pipe=pipe):
                     return subm_conv_pallas(
                         f, bs, rl, wt, window=windows, wsub=wsubs,
                         sub_offs=so, active=ac, interpret=interp,
                         pack_limit=align // 16, fuse=fuse, pred=pred,
+                        pipeline=pipe,
                     )
 
                 def run(f, wt, bare=bare):
@@ -165,7 +173,7 @@ def main():
                     continue
                 err = np.abs(np.asarray(out, np.float32) - ref).max()
                 print(f"  align={align} pack={p} fuse={int(fuse)} "
-                      f"pred={int(pred)}: "
+                      f"pred={int(pred)} pipe={int(pipe)}: "
                       f"bare {t_bare*1e3:7.2f}  +miss {t_miss*1e3:7.2f} "
                       f"ms/conv  maxerr={err:.4f}  miss={total}", flush=True)
 

@@ -10,7 +10,11 @@ Interpretation: if dma_only ~ full, the kernel is DMA-bound (count or
 latency, since bytes changes with pack didn't move it); if no_dma ~ full,
 compute/VPU-bound; if both are far below full, it's the interleaving.
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -207,7 +207,7 @@ def choose_pack(c: int, windows, wsubs, limit: int) -> int:
 
 def _make_kernel(n_off: int, wp: tuple, wsp: tuple, n_sub: int,
                  dtype, pack: int, c_slice: int, fuse: bool,
-                 pred: bool = True):
+                 pred: bool = True, pipeline: bool = True):
     """Burst-mode TWO-LEVEL kernel with GROUPED window DMAs: the K//GRP
     (= 3) group windows for a block launch at once (one buffer + semaphore
     per GROUP), then the compute loop drains them — each group's 9 offsets
@@ -231,12 +231,20 @@ def _make_kernel(n_off: int, wp: tuple, wsp: tuple, n_sub: int,
     FLOPs, dominates at production sizes), gathered slices are staged into
     a (sub, LANE, K*128) VMEM scratch and ONE long matmul per block
     contracts all offsets at once against the (K*128, Cout) stacked
-    weights — same passes, one MXU instruction stream."""
+    weights — same passes, one MXU instruction stream.
+
+    CROSS-BLOCK PIPELINING (pipeline=True): window buffers and DMA
+    semaphores are double-buffered over the grid parity; block kb starts
+    block kb+1's group DMAs BEFORE its own compute (the grid runs
+    sequentially on one core, so kb-1's buffers of the same parity are
+    free), hiding the window-DMA latency that the burst-at-block-start
+    form left exposed on the first group of every block."""
     n_grp = n_off // GRP
+    nbuf = 2 if pipeline else 1
 
     def kernel(bases_ref, sub_offs_ref, active_ref, *refs):
         # refs: rel_0..rel_{K-1}, feat, weights, out, win_0..win_{G-1},
-        #       staging (acc or g_all), sem(G)
+        #       staging (acc or g_all), sem(nbuf, G)
         # bases/sub_offs arrive FLAT (nB*G / nB*nS*K) and PRE-DIVIDED by
         # pack: SMEM pads the last dim of scalar-prefetch arrays to 128
         # lanes, so a (nB, nS, 27) table would blow the 1 MB SMEM budget at
@@ -249,16 +257,17 @@ def _make_kernel(n_off: int, wp: tuple, wsp: tuple, n_sub: int,
         stage = refs[n_off + 3 + n_grp]  # g_all when fuse else acc
         sem = refs[n_off + 4 + n_grp]
         kb = pl.program_id(0)
+        par = jax.lax.rem(kb, nbuf)
         lane_w = pack * c_slice  # 128 when packed; c_pad tile otherwise
 
-        def dma(g):
+        def dma(b, g, p):
             base = pl.multiple_of(
-                bases_ref[kb * n_grp + g], 16
+                bases_ref[b * n_grp + g], 16
             )  # host aligns bases to 16*pack; wrapper pre-divides by pack
             return pltpu.make_async_copy(
                 feat_ref.at[pl.ds(base, wp[g])],
-                wins[g],
-                sem.at[g],
+                wins[g].at[p],
+                sem.at[p, g],
             )
 
         # Fully-padded blocks (all rel = -1) would compute exact zeros —
@@ -268,28 +277,52 @@ def _make_kernel(n_off: int, wp: tuple, wsp: tuple, n_sub: int,
         def _():
             out_ref[0] = jnp.zeros_like(out_ref[0])
 
-        def soff(o, sg):
-            return sub_offs_ref[(kb * n_sub + sg) * n_off + o]
+        def soff(o, sg, b=None):
+            b = kb if b is None else b
+            return sub_offs_ref[(b * n_sub + sg) * n_off + o]
 
-        def group_active(g):
+        def group_active(g, b=None):
             # Negative sub_offs = empty-subgroup sentinel; a group whose
             # every (offset, subgroup) is empty contributes exact zeros ->
             # skip its window DMA.
-            acc = soff(g * GRP, 0) >= 0
+            acc = soff(g * GRP, 0, b) >= 0
             for o in range(g * GRP, (g + 1) * GRP):
                 for sg in range(n_sub):
-                    acc = jnp.logical_or(acc, soff(o, sg) >= 0)
+                    acc = jnp.logical_or(acc, soff(o, sg, b) >= 0)
             return acc
+
+        def start_block(b, p):
+            # b may be traced; all tables are SMEM-resident for every block.
+            for g in range(n_grp):
+                cond = active_ref[b] != 0
+                if pred:
+                    cond = jnp.logical_and(cond, group_active(g, b))
+
+                @pl.when(cond)
+                def _(g=g):
+                    dma(b, g, p).start()
+
+        if pipeline:
+            nblk = pl.num_programs(0)
+
+            @pl.when(kb == 0)
+            def _():
+                start_block(0, 0)
+
+            @pl.when(kb + 1 < nblk)
+            def _():
+                start_block(kb + 1, jax.lax.rem(kb + 1, nbuf))
 
         @pl.when(active_ref[kb] != 0)
         def _():
-            for g in range(n_grp):
-                if pred:
-                    @pl.when(group_active(g))
-                    def _(g=g):
-                        dma(g).start()
-                else:
-                    dma(g).start()
+            if not pipeline:
+                for g in range(n_grp):
+                    if pred:
+                        @pl.when(group_active(g))
+                        def _(g=g):
+                            dma(kb, g, 0).start()
+                    else:
+                        dma(kb, g, 0).start()
             if not fuse:
                 stage[...] = jnp.zeros_like(stage)
             for o in range(n_off):
@@ -298,9 +331,9 @@ def _make_kernel(n_off: int, wp: tuple, wsp: tuple, n_sub: int,
                     if pred:
                         @pl.when(group_active(g))
                         def _(g=g):
-                            dma(g).wait()
+                            dma(kb, g, par).wait()
                     else:
-                        dma(g).wait()
+                        dma(kb, g, par).wait()
                 rel = rels[o][0]  # (sub, LANE) int32
                 sub = rel.shape[0]
                 rows = sub // n_sub  # sublane rows per subgroup
@@ -320,7 +353,7 @@ def _make_kernel(n_off: int, wp: tuple, wsp: tuple, n_sub: int,
                     def _body(o=o, sg=sg, lo=lo, rows=rows, rel=rel, s=s):
                         off = pl.multiple_of(s, 16)
                         wslice = wins[o // GRP][
-                            pl.ds(off, wsp[o]), :
+                            par, pl.ds(off, wsp[o]), :
                         ].astype(dtype)
                         rel_sg = rel[sg * rows : (sg + 1) * rows]
                         if pack == 1:
@@ -428,6 +461,7 @@ def subm_conv_pallas(
     pack_limit: int = 1,
     fuse: bool | None = None,
     pred: bool = False,
+    pipeline: bool = True,
 ) -> jnp.ndarray:
     """Fused two-level banded subm conv. Returns (V, Cout) fp32.
 
@@ -453,7 +487,12 @@ def subm_conv_pallas(
     ms fused: Mosaic serialises around the pl.when regions), so it
     defaults OFF; block-level `active` predication — the round-2 win that
     scales with bucket padding — is always on. Keep the flag for A/B on
-    sparser distributions (scripts/bench_conv_kernel.py --pred)."""
+    sparser distributions (scripts/bench_conv_kernel.py --pred).
+
+    `pipeline`: cross-block double-buffered window DMAs (see _make_kernel);
+    ~10% on the production 131k geometry (2.89 -> 2.59 ms bare at pack=1,
+    a wash at pack=4 where the DMA is already hidden behind the wider
+    matmuls). Same cost under interpret (measured), so tests keep it on."""
     v, c = features.shape
     k = weights.shape[0]
     gwindows = _group_windows(window, k)
@@ -520,17 +559,23 @@ def subm_conv_pallas(
             lambda kb, bases, soffs, act: (kb, 0, 0, 0),
         ),
         scratch_shapes=[
-            *[pltpu.VMEM((w, lane_w), features.dtype) for w in wp],
+            # Double-buffered over grid parity when pipelined (see
+            # _make_kernel): ~1 MB extra VMEM at production widths.
+            *[
+                pltpu.VMEM((2 if pipeline else 1, w, lane_w), features.dtype)
+                for w in wp
+            ],
             (
                 pltpu.VMEM((sub, _LANE, k * lane_w), kdtype)
                 if fuse
                 else pltpu.VMEM((sub, _LANE, cout), jnp.float32)
             ),
-            pltpu.SemaphoreType.DMA((k // GRP,)),
+            pltpu.SemaphoreType.DMA((2 if pipeline else 1, k // GRP)),
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(k, wp, wsp, ns, kdtype, pack, c_slice, fuse, pred),
+        _make_kernel(k, wp, wsp, ns, kdtype, pack, c_slice, fuse, pred,
+                     pipeline),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, sub, _LANE, cout), jnp.float32),
         interpret=interpret,
@@ -559,7 +604,8 @@ def subm_conv_pallas(
 
 def _make_dw_burst_kernel(n_off: int, wp: tuple, wsp: tuple,
                           n_sub: int, dtype, pack: int, c_slice: int,
-                          fuse: bool, pred: bool = True):
+                          fuse: bool, pred: bool = True,
+                          pipeline: bool = True):
     """Weight-gradient kernel, BURST form mirroring the forward: grid (nB,),
     the K//GRP GROUP window DMAs for a block in flight at once (per-group
     STATIC widths, shared by the group's 9 offsets), the block's g read
@@ -574,12 +620,14 @@ def _make_dw_burst_kernel(n_off: int, wp: tuple, wsp: tuple,
     forward and dW accumulates in the PACKED lane space (K, 128, Cout); the
     wrapper unpacks by summing the p channel-slices. fuse: the masked
     gathers for all offsets stage into a (block, K*lane) scratch and ONE
-    long matmul per block contracts voxels for every offset at once."""
+    long matmul per block contracts voxels for every offset at once.
+    pipeline: cross-block double-buffered window DMAs (see _make_kernel)."""
     n_grp = n_off // GRP
+    nbuf = 2 if pipeline else 1
 
     def kernel(bases_ref, sub_offs_ref, active_ref, *refs):
         # refs: rel_0..rel_{K-1} (cols), g, feat, dw_out,
-        #       win_0..win_{G-1}, [g_all], sem(G)
+        #       win_0..win_{G-1}, [g_all], sem(nbuf, G)
         rels = refs[:n_off]
         g_ref = refs[n_off]
         feat_ref = refs[n_off + 1]
@@ -591,40 +639,64 @@ def _make_dw_burst_kernel(n_off: int, wp: tuple, wsp: tuple,
         else:
             sem = refs[n_off + 3 + n_grp]
         kb = pl.program_id(0)
+        par = jax.lax.rem(kb, nbuf)
         lane_w = pack * c_slice
 
-        def dma(g):
-            base = pl.multiple_of(bases_ref[kb * n_grp + g], 16)
+        def dma(b, g, p):
+            base = pl.multiple_of(bases_ref[b * n_grp + g], 16)
             return pltpu.make_async_copy(
                 feat_ref.at[pl.ds(base, wp[g])],
-                wins[g],
-                sem.at[g],
+                wins[g].at[p],
+                sem.at[p, g],
             )
 
         @pl.when(kb == 0)
         def _():
             dw_ref[...] = jnp.zeros_like(dw_ref)
 
-        def soff(o, sg):
-            return sub_offs_ref[(kb * n_sub + sg) * n_off + o]
+        def soff(o, sg, b=None):
+            b = kb if b is None else b
+            return sub_offs_ref[(b * n_sub + sg) * n_off + o]
 
-        def group_active(g):
-            acc = soff(g * GRP, 0) >= 0
+        def group_active(g, b=None):
+            acc = soff(g * GRP, 0, b) >= 0
             for o in range(g * GRP, (g + 1) * GRP):
                 for sg in range(n_sub):
-                    acc = jnp.logical_or(acc, soff(o, sg) >= 0)
+                    acc = jnp.logical_or(acc, soff(o, sg, b) >= 0)
             return acc
+
+        def start_block(b, p):
+            for gi in range(n_grp):
+                cond = active_ref[b] != 0
+                if pred:
+                    cond = jnp.logical_and(cond, group_active(gi, b))
+
+                @pl.when(cond)
+                def _(gi=gi):
+                    dma(b, gi, p).start()
+
+        if pipeline:
+            nblk = pl.num_programs(0)
+
+            @pl.when(kb == 0)
+            def _():
+                start_block(0, 0)
+
+            @pl.when(kb + 1 < nblk)
+            def _():
+                start_block(kb + 1, jax.lax.rem(kb + 1, nbuf))
 
         # Fully-padded blocks contribute exact zeros — skip entirely.
         @pl.when(active_ref[kb] != 0)
         def _():
-            for gi in range(n_grp):
-                if pred:
-                    @pl.when(group_active(gi))
-                    def _(gi=gi):
-                        dma(gi).start()
-                else:
-                    dma(gi).start()
+            if not pipeline:
+                for gi in range(n_grp):
+                    if pred:
+                        @pl.when(group_active(gi))
+                        def _(gi=gi):
+                            dma(kb, gi, 0).start()
+                    else:
+                        dma(kb, gi, 0).start()
             g = g_ref[0]  # (sub, LANE, Cout): LANE voxels on sublanes
             sub = g.shape[0]
             rows = sub // n_sub  # sublane rows per subgroup
@@ -634,9 +706,9 @@ def _make_dw_burst_kernel(n_off: int, wp: tuple, wsp: tuple,
                     if pred:
                         @pl.when(group_active(gi))
                         def _(gi=gi):
-                            dma(gi).wait()
+                            dma(kb, gi, par).wait()
                     else:
-                        dma(gi).wait()
+                        dma(kb, gi, par).wait()
                 rel = rels[o][0]  # (sub, LANE) int32
                 for sg in range(n_sub):
                     nvox = rows * _LANE
@@ -654,7 +726,7 @@ def _make_dw_burst_kernel(n_off: int, wp: tuple, wsp: tuple,
                               rows=rows, g=g):
                         off = pl.multiple_of(s, 16)
                         wslice = wins[o // GRP][
-                            pl.ds(off, wsp[o]), :
+                            par, pl.ds(off, wsp[o]), :
                         ].astype(dtype)
                         rel_sg = rel[sg * rows : (sg + 1) * rows]
                         if pack == 1:
@@ -735,13 +807,14 @@ def subm_conv_dw_pallas(
     pack_limit: int = 1,
     fuse: bool | None = None,
     pred: bool = False,
+    pipeline: bool = True,
 ) -> jnp.ndarray:
     """Banded weight gradient: dW[o] = sum_i feat[nbr(i,o)]^T grad[i].
     Returns (K, C, Cout) fp32 (un-padded). Burst form: see
     _make_dw_burst_kernel. `window` is per-GROUP (int or (K//GRP,)), `wsub`
     per-offset; wsub=None means single-level semantics — caller sub_offs
-    are ignored (see subm_conv_pallas docstring). pack_limit / fuse: see
-    subm_conv_pallas."""
+    are ignored (see subm_conv_pallas docstring). pack_limit / fuse /
+    pipeline: see subm_conv_pallas."""
     v, c = features.shape
     cout = grad_out.shape[-1]
     nb = rulebook_bases.shape[0]
@@ -804,18 +877,21 @@ def subm_conv_dw_pallas(
             dw_shape, lambda kb, bases, soffs, act: (0,) * len(dw_shape)
         ),
         scratch_shapes=[
-            *[pltpu.VMEM((w, lane_w), features.dtype) for w in wp],
+            *[
+                pltpu.VMEM((2 if pipeline else 1, w, lane_w), features.dtype)
+                for w in wp
+            ],
             *(
                 [pltpu.VMEM((block, k * lane_w), kdtype)]
                 if fuse
                 else []
             ),
-            pltpu.SemaphoreType.DMA((k // GRP,)),
+            pltpu.SemaphoreType.DMA((2 if pipeline else 1, k // GRP)),
         ],
     )
     dw = pl.pallas_call(
         _make_dw_burst_kernel(k, wp, wsp, ns, kdtype, pack, c_slice, fuse,
-                              pred),
+                              pred, pipeline),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(dw_shape, jnp.float32),
         interpret=interpret,
