@@ -140,11 +140,12 @@ def main():
                 continue
             w27 = np.asarray(windows, np.int64)
             ws27 = np.asarray(wsubs, np.int64)
+            mcap0 = cfg.level_miss_caps()[0]
             (bs, so, rl, ac, mr_, mn_, mo_, total) = native_rb.build_banded(
                 nbr, cap, 512, w27, ws27, n_subgroups(512),
-                2 * cfg.conv_miss_cap, align=align,
+                2 * mcap0, align=align,
             )
-            two = lambda a: jnp.asarray(a.reshape(2, cfg.conv_miss_cap))
+            two = lambda a: jnp.asarray(a.reshape(2, mcap0))
             ml = MissList(rows=two(mr_), nbrs=two(mn_), offs=two(mo_))
             for fuse in [bool(f) for f in args.fuse]:
               for pred in [bool(x) for x in args.pred]:

@@ -112,3 +112,86 @@ def test_native_banded_bit_exact():
             np.testing.assert_array_equal(rows, ml.rows)
             np.testing.assert_array_equal(nbrs, ml.nbrs)
             np.testing.assert_array_equal(offs, ml.offs)
+
+
+@pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+def test_fused_pack_matches_two_phase():
+    """ONE-CALL fused builder (quantize + gridpack + banded, rulebook.cc
+    unidet3d_build_packs_fused) must be bit-exact with the two-phase flow
+    quantize_points -> build_gridpack_host -> build_banded_pack, including
+    neighbor tables (want_neighbors), per-level miss lists and the int16
+    rel wire dtype."""
+    from unidet3d_tpu.core.config import default_config
+    from unidet3d_tpu.ops.gridpack import (
+        build_banded_pack,
+        build_fused_pack_host,
+        build_gridpack_host,
+        quantize_points,
+    )
+
+    cfg = default_config(
+        max_points=4096, voxel_capacity=4096, subm_impl="pallas",
+        conv_miss_cap=(512, 256, 128, 64, 64),
+    )
+    rng = np.random.RandomState(7)
+    b, p = 2, 3000
+    # Float voxel-unit coords with a negative origin (exercises the
+    # per-scene min subtraction) and some invalid tail rows.
+    vox_src = (rng.rand(b, p, 3).astype(np.float32) * 60.0 - 7.3)
+    valid = np.arange(p)[None, :] < np.array([p, p - 123])[:, None]
+    vox_src[~valid] = 0.0
+
+    caps = list(cfg.level_capacities(b))
+    bxyz = quantize_points(vox_src, valid)
+    ref_pack, ref_counts = build_gridpack_host(
+        bxyz, valid.reshape(-1), caps, num_threads=2
+    )
+    ref_banded = build_banded_pack(
+        ref_pack, caps, window=cfg.level_conv_windows(),
+        wsub=cfg.level_conv_subwindows(), align=cfg.level_pack_align(),
+        miss_cap=[m * b for m in cfg.level_miss_caps()], num_threads=2,
+    )
+
+    out = build_fused_pack_host(
+        vox_src, valid, cfg, num_threads=2, want_neighbors=True
+    )
+    assert out is not None
+    fused, fused_counts = out
+
+    np.testing.assert_array_equal(fused.point_inverse, ref_pack.point_inverse)
+    np.testing.assert_allclose(fused_counts, ref_counts)
+    for lvl in range(len(caps)):
+        np.testing.assert_array_equal(
+            fused.valid[lvl], ref_pack.valid[lvl], f"valid L{lvl}"
+        )
+        np.testing.assert_array_equal(
+            fused.neighbors[lvl], ref_pack.neighbors[lvl], f"nbr L{lvl}"
+        )
+        np.testing.assert_array_equal(
+            fused.banded.bases[lvl], ref_banded.bases[lvl], f"bases L{lvl}"
+        )
+        np.testing.assert_array_equal(
+            fused.banded.sub_offs[lvl], ref_banded.sub_offs[lvl],
+            f"sub_offs L{lvl}",
+        )
+        assert fused.banded.rel[lvl].dtype == np.int16
+        np.testing.assert_array_equal(
+            fused.banded.rel[lvl].astype(np.int32),
+            np.asarray(ref_banded.rel[lvl]).astype(np.int32), f"rel L{lvl}",
+        )
+        np.testing.assert_array_equal(
+            fused.banded.active[lvl], ref_banded.active[lvl], f"act L{lvl}"
+        )
+        for name in ("miss_rows", "miss_nbrs", "miss_offs"):
+            np.testing.assert_array_equal(
+                getattr(fused.banded, name)[lvl],
+                getattr(ref_banded, name)[lvl], f"{name} L{lvl}",
+            )
+    for t in range(len(caps) - 1):
+        v = ref_pack.valid[t]
+        np.testing.assert_array_equal(
+            fused.parent[t][v], ref_pack.parent[t][v], f"parent T{t}"
+        )
+        np.testing.assert_array_equal(
+            fused.offset_code[t][v], ref_pack.offset_code[t][v], f"off T{t}"
+        )

@@ -18,6 +18,21 @@ import pytest as _pytest
 pytestmark = _pytest.mark.slow
 
 
+def _xla_pack(batch_np, cfg):
+    """GridPack for the XLA gather path, built from the SAME batch.
+
+    The pallas collate path uses the fused native builder, which ships
+    placeholder (0, 27) neighbor tables (dead on device); the gather path
+    needs real ones, so rebuild the pack under subm_impl='xla'."""
+    from unidet3d_tpu.data.batcher import build_packs
+
+    pack_np = build_packs(
+        batch_np.vox_src, batch_np.valid,
+        dataclasses.replace(cfg, subm_impl="xla"), n_shards=1,
+    )
+    return jax.tree_util.tree_map(jnp.asarray, pack_np)
+
+
 def test_pallas_model_path_matches_xla(tmp_path):
     root = str(tmp_path / "scannet")
     write_fake_dataset(root)
@@ -43,7 +58,7 @@ def test_pallas_model_path_matches_xla(tmp_path):
     assert pack_np.banded is not None
     batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
     pack = jax.tree_util.tree_map(jnp.asarray, pack_np)
-    pack_xla = pack._replace(banded=None)
+    pack_xla = _xla_pack(batch_np, cfg)
 
     model, _ = _build(cfg)
     rngs = {"params": jax.random.PRNGKey(0), "queries": jax.random.PRNGKey(1)}
@@ -84,7 +99,7 @@ def test_pallas_train_grads_match_xla(tmp_path):
     batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
     gt = jax.tree_util.tree_map(jnp.asarray, gt_np)
     pack = jax.tree_util.tree_map(jnp.asarray, pack_np)
-    pack_xla = pack._replace(banded=None)
+    pack_xla = _xla_pack(batch_np, cfg)
 
     model, _ = _build(cfg)
     rngs = {"params": jax.random.PRNGKey(0), "queries": jax.random.PRNGKey(1)}

@@ -134,7 +134,7 @@ def test_eval_loader_capacity_buckets(tmp_path):
     cfg = small_config(max_points=32768, voxel_capacity=32768,
                        max_superpoints=48)
     assert capacity_buckets(cfg) == (
-        8192, 16384, 20480, 24576, 28672, 32768
+        8192, 16384, 20480, 24576, 28672, 30720, 32768
     )
     ds = IndoorDataset(root, "infos.pkl", 0,
                        pipeline=test_pipeline("scannet"), test_mode=True)
@@ -163,7 +163,7 @@ def test_bucket_cfg_picks_intermediate_rungs():
     cfg = small_config(max_points=131072, voxel_capacity=131072,
                        max_superpoints=48)
     assert capacity_buckets(cfg) == (
-        32768, 65536, 81920, 98304, 114688, 131072
+        32768, 65536, 81920, 98304, 114688, 122880, 131072
     )
     dummy = type(
         "L", (),

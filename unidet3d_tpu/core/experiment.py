@@ -47,7 +47,9 @@ class ExperimentConfig:
     steps_per_epoch: int = 0
     lr: float = 2e-4
     # Denominator for tools/train.py --auto-scale-lr (linear scaling rule):
-    # the reference recipe's 1 GPU x batch 8 (configs/*_1xb8_*.py:583).
+    # 8, inferred from the reference recipe's '1xb8' config naming (1 GPU x
+    # batch 8; its configs define no auto_scale_lr block themselves — the
+    # reference CLI would actually error on --auto-scale-lr).
     base_batch_size: int = 8
     weight_decay: float = 0.05
     lr_power: float = 0.9

@@ -131,10 +131,36 @@ def _build_one_pack(vox_src, valid, cfg: ModelConfig,
     """GridPack (+ BandedPack when subm_impl='pallas') for one scene group."""
     b = vox_src.shape[0]
     caps = list(cfg.level_capacities(b))
-    bxyz = quantize_points(vox_src, valid)
-    pack, _ = build_gridpack_host(
-        bxyz, valid.reshape(-1), caps, num_threads=num_threads
-    )
+    pack = None
+    if cfg.subm_impl == "pallas":
+        # Fused native path: quantize + gridpack + banded in one C++ call;
+        # the (V, 27) neighbor tables are never built (dead on the pallas
+        # device path — jit prunes them as unused inputs anyway, this also
+        # skips their host build + wire cost).
+        from ..ops.gridpack import build_fused_pack_host
+
+        fused = build_fused_pack_host(vox_src, valid, cfg, num_threads)
+        if fused is not None:
+            pack, _ = fused
+    if pack is None:
+        bxyz = quantize_points(vox_src, valid)
+        pack, _ = build_gridpack_host(
+            bxyz, valid.reshape(-1), caps, num_threads=num_threads
+        )
+        if cfg.subm_impl == "pallas":
+            from ..ops.gridpack import build_banded_pack
+
+            banded = build_banded_pack(
+                pack, caps, window=cfg.level_conv_windows(),
+                wsub=cfg.level_conv_subwindows(),
+                align=cfg.level_pack_align(),
+                # Misses accumulate per scene (windows are derived for
+                # intra-scene drift), so the compact-correction capacity
+                # scales with the scene count of this shard group.
+                miss_cap=[m * b for m in cfg.level_miss_caps()],
+                num_threads=num_threads,
+            )
+            pack = pack._replace(banded=banded)
     # Capacity-overflow telemetry: valid points whose level-0 voxel was
     # dropped, and valid voxels whose downsample parent overflowed.
     DROPS.add(
@@ -148,20 +174,6 @@ def _build_one_pack(vox_src, valid, cfg: ModelConfig,
             "coarse_voxels_dropped",
             int((np.asarray(par)[v] >= caps[lvl + 1]).sum()),
         )
-    if cfg.subm_impl == "pallas":
-        from ..ops.gridpack import build_banded_pack
-
-        banded = build_banded_pack(
-            pack, caps, window=cfg.level_conv_windows(),
-            wsub=cfg.level_conv_subwindows(),
-            align=cfg.level_pack_align(),
-            # Misses accumulate per scene (windows are derived for
-            # intra-scene drift), so the compact-correction capacity
-            # scales with the scene count of this shard group.
-            miss_cap=cfg.conv_miss_cap * b,
-            num_threads=num_threads,
-        )
-        pack = pack._replace(banded=banded)
     return pack
 
 

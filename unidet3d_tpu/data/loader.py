@@ -140,13 +140,15 @@ def capacity_buckets(cfg: ModelConfig) -> tuple:
     # pads all the way to `full` (measured r3: the full bucket runs 1.68x
     # slower per scene than the half bucket purely from padding). The 5/8
     # and 7/8 rungs split the remaining padding waste roughly in half
-    # again; compiles are one-off and cached.
+    # again; the 15/16 rung (184320 at the default 196608 cap) covers
+    # S3DIS's 180k-point pipelines (ref configs/...arkitscenes.py:220-221)
+    # without padding to full. Compiles are one-off and cached.
     return tuple(
         sorted(
             {
                 min(a512(max(num * full // den, 4096)), full)
                 for num, den in
-                ((1, 4), (1, 2), (5, 8), (3, 4), (7, 8), (1, 1))
+                ((1, 4), (1, 2), (5, 8), (3, 4), (7, 8), (15, 16), (1, 1))
             }
         )
     )
@@ -161,8 +163,11 @@ def superpoint_buckets(cfg: ModelConfig) -> tuple:
     covering the group's true superpoint count cuts that (and the segment
     pooling + postprocess shapes) for small/medium scenes. 1024-granular
     rungs keep the compiled-step count bounded (one compile per (point
-    bucket, sp bucket) pair actually seen); every rung is a 512 multiple so
-    the flash-attention path stays eligible."""
+    bucket, sp bucket) pair actually seen). The intermediate rungs are
+    1024 multiples, so the flash-attention path stays eligible for them;
+    the TOP rung is cfg.max_superpoints verbatim — a deployment may set
+    that to a non-512 multiple, in which case the detector rounds its
+    query capacity itself (models/detector.py q rounding)."""
     full = cfg.max_superpoints
     rungs = {min(r, full) for r in range(1024, full + 1024, 1024)}
     rungs.add(full)
@@ -195,22 +200,36 @@ class EvalLoader:
     def __init__(self, dataset, cfg: ModelConfig, batch_size: int,
                  n_shards: int = 1, prefetch: int = 2,
                  buckets: tuple | None = None, sort_by_size: bool = True,
-                 shard_idx: int = 0, shard_count: int = 1):
+                 shard_idx: int = 0, shard_count: int = 1,
+                 num_threads: int | None = None):
         assert batch_size % n_shards == 0, (batch_size, n_shards)
         assert 0 <= shard_idx < shard_count, (shard_idx, shard_count)
+        if num_threads is None:
+            # Pack building is the dominant host cost (~0.1 s/scene after
+            # the fused native builder); multiple producers keep a fast
+            # device fed on multi-core hosts. Groups are reassembled in
+            # order by the consumer, so thread count never changes results.
+            num_threads = max(1, min(os.cpu_count() or 1, 6))
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = batch_size
         self.n_shards = n_shards
+        self.num_threads = num_threads
         self.buckets = capacity_buckets(cfg) if buckets is None else buckets
         # Multi-process eval: each process takes a stride of the (sorted)
         # order — disjoint, jointly exhaustive scene shards; the metric
         # all-gathers results across processes (train/metric.py).
         self._order = self._scene_order(sort_by_size)[shard_idx::shard_count]
-        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._q: queue.Queue = queue.Queue(maxsize=max(prefetch, num_threads))
         self._n_groups = -(-len(self._order) // batch_size)
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        self._next_g = 0  # next group index to build (guarded by _lock)
+        self._lock = threading.Lock()
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True)
+            for _ in range(num_threads)
+        ]
+        for t in self._threads:
+            t.start()
 
     def _scene_order(self, sort_by_size: bool) -> np.ndarray:
         n = len(self.dataset)
@@ -288,7 +307,12 @@ class EvalLoader:
     def _worker(self):
         n = len(self._order)
         try:
-            for g in range(self._n_groups):
+            while True:
+                with self._lock:
+                    g = self._next_g
+                    self._next_g += 1
+                if g >= self._n_groups:
+                    break
                 lo = g * self.batch_size
                 idxs = [
                     int(self._order[min(lo + j, n - 1)])
@@ -302,19 +326,36 @@ class EvalLoader:
                 if self.n_shards == 1 and pack is not None:
                     pack = _tree_map(lambda x: x[None], pack)
                 n_real = min(self.batch_size, n - lo)
-                self._q.put((samples, batch, gt, pack, n_real, cfg_b))
+                self._q.put((g, (samples, batch, gt, pack, n_real, cfg_b)))
         except BaseException as e:  # surface in the consumer, don't hang it
             self._err = e
+            self._q.put((-1, None))
         finally:
             self._q.put(None)
 
     _err: BaseException | None = None
 
     def __iter__(self):
-        while True:
-            item = self._q.get()
-            if item is None:
-                if self._err is not None:
-                    raise RuntimeError("EvalLoader worker failed") from self._err
-                return
-            yield item
+        # Reassemble groups in index order (multiple producers finish out
+        # of order); done when all workers have signalled completion.
+        buf: dict = {}
+        next_out = 0
+        done = 0
+        while next_out < self._n_groups:
+            while next_out not in buf:
+                item = self._q.get()
+                if item is None:
+                    done += 1
+                    if self._err is not None:
+                        raise RuntimeError(
+                            "EvalLoader worker failed"
+                        ) from self._err
+                    if done == len(self._threads) and next_out not in buf:
+                        return  # all workers done, nothing left
+                    continue
+                g, payload = item
+                if g < 0:
+                    continue  # error marker; the None that follows raises
+                buf[g] = payload
+            yield buf.pop(next_out)
+            next_out += 1

@@ -60,6 +60,9 @@ class SubmConv(nn.Module):
             from ..ops.pallas_conv import subm_conv_banded
 
             bases, sub_offs, rel, active, mrows, mnbrs, moffs = banded
+            # rel rides the wire as int16 (fused native builder) — cast on
+            # device; the kernel's iota compares want int32.
+            rel = rel.astype(jnp.int32)
             # Differentiable fused kernel (custom VJP) — forward AND backward
             # run banded pallas, no XLA row gathers in training.
             return subm_conv_banded(

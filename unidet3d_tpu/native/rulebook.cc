@@ -11,6 +11,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread
 //        rulebook.cc -o libunidet3d_rulebook.so
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -313,6 +314,347 @@ void unidet3d_build_banded(
       miss_nbrs[m] = 1 << 30;
       miss_offs[m] = 0;
     }
+  }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// FUSED builder: quantize + gridpack + per-level banded rulebooks in ONE
+// pass, never materialising the (V, 27) neighbor tables (unless asked).
+//
+// Motivation (round 5): the two-phase flow (build_gridpack -> per-level
+// build_banded) writes ~110 MB of neighbor tables only for build_banded to
+// re-read them into banded form — on the single-core hosts the input
+// pipeline runs on, that memory traffic WAS the pipeline. Here each
+// 512-row block's 27 neighbor columns are produced into a ~55 KB scratch
+// (27 two-pointer merge streams, re-anchored per block by binary search so
+// blocks parallelise) and consumed for banded emission while still in L1/L2.
+// Bit-exact with the two-phase flow (tests/test_native_rulebook.py).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// LSD radix sort of (key, payload) pairs by the low 48 key bits. Valid keys
+// use <= 36 + 12 bits (batch << 36 | x << 24 | y << 12 | z, batch < 4096);
+// kInvalidKey's low 48 bits are all ones, so invalids sort last, and the
+// per-digit counting scatter is stable — matching std::stable_sort /
+// np.argsort(kind='stable') on the same keys.
+void radix_sort_pairs(std::vector<int64_t>& keys, std::vector<int32_t>& idx) {
+  const int64_t n = static_cast<int64_t>(keys.size());
+  std::vector<int64_t> kbuf(n);
+  std::vector<int32_t> ibuf(n);
+  int64_t* ksrc = keys.data();
+  int64_t* kdst = kbuf.data();
+  int32_t* isrc = idx.data();
+  int32_t* idst = ibuf.data();
+  for (int pass = 0; pass < 6; ++pass) {
+    const int shift = pass * 8;
+    int64_t count[256] = {0};
+    for (int64_t i = 0; i < n; ++i) ++count[(ksrc[i] >> shift) & 255];
+    int64_t pos[256];
+    int64_t run = 0;
+    for (int b = 0; b < 256; ++b) {
+      pos[b] = run;
+      run += count[b];
+    }
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t at = pos[(ksrc[i] >> shift) & 255]++;
+      kdst[at] = ksrc[i];
+      idst[at] = isrc[i];
+    }
+    std::swap(ksrc, kdst);
+    std::swap(isrc, idst);
+  }
+  // 6 passes = even number of swaps: results are back in keys/idx.
+}
+
+}  // namespace
+
+extern "C" {
+
+// One-call fused pack build. Layout contracts match the two-phase entries;
+// per-level banded outputs additionally match unidet3d_build_banded run on
+// the level's (cap, 27) neighbor table. rel is emitted as int16 (the wire
+// dtype: values are in [-1, wsub), wsub <= 4095) — the device casts.
+//
+//   vox_src: (n_scenes, p, 3) float32 voxel-unit coords
+//   valid:   (n_scenes, p) uint8
+//   blocks/n_subs/aligns/miss_caps: (L,) int64; windows (L, 3); wsubs (L, 27)
+//   miss_caps = TRANSPORT lengths (two tiers concatenated, python reshapes)
+//   want_neighbors != 0: also fill neighbors[l] (cap_l, 27) int32
+//   n_miss: (L,) int64 out — total misses per level BEFORE truncation.
+void unidet3d_build_packs_fused(
+    const float* vox_src, const uint8_t* valid, int64_t n_scenes, int64_t p,
+    const int64_t* capacities, int32_t n_levels, int32_t n_threads,
+    const int64_t* blocks, const int64_t* windows, const int64_t* wsubs,
+    const int64_t* n_subs, const int64_t* miss_caps, const int64_t* aligns,
+    int32_t want_neighbors, int32_t* point_inverse, float* counts0,
+    uint8_t** valids, int32_t** parents, int32_t** offsets,
+    int32_t** neighbors, int32_t** bases, int32_t** sub_offs_out,
+    int16_t** rel_out, int32_t** active_out, int32_t** miss_rows,
+    int32_t** miss_nbrs, int32_t** miss_offs, int64_t* n_miss) {
+  const int64_t n_points = n_scenes * p;
+  // ---- Quantize (twin of ops/gridpack.py::quantize_points): per-scene
+  // float32 min over valid points, floor, clamp to the 12-bit key fields.
+  std::vector<int64_t> keys(n_points);
+  std::vector<int32_t> order(n_points);
+  pfor(n_scenes, n_threads, [&](int64_t s) {
+    float pmin[3] = {1e9f, 1e9f, 1e9f};
+    const float* v = vox_src + s * p * 3;
+    const uint8_t* va = valid + s * p;
+    for (int64_t i = 0; i < p; ++i) {
+      if (!va[i]) continue;
+      for (int a = 0; a < 3; ++a) pmin[a] = std::min(pmin[a], v[i * 3 + a]);
+    }
+    for (int a = 0; a < 3; ++a)
+      if (pmin[a] >= 1e9f) pmin[a] = 0.0f;
+    for (int64_t i = 0; i < p; ++i) {
+      if (!va[i]) {
+        keys[s * p + i] = kInvalidKey;
+        continue;
+      }
+      int64_t c[3];
+      for (int a = 0; a < 3; ++a) {
+        float d = std::floor(v[i * 3 + a] - pmin[a]);
+        c[a] = std::clamp<int64_t>(static_cast<int64_t>(d), 0, 4095);
+      }
+      keys[s * p + i] = pack(s, c[0], c[1], c[2]);
+    }
+  }, /*min_serial=*/1);
+  for (int64_t i = 0; i < n_points; ++i) order[i] = static_cast<int32_t>(i);
+  radix_sort_pairs(keys, order);
+
+  // ---- Level 0 dedup (same walk as unidet3d_build_gridpack, but over the
+  // value-sorted keys).
+  const int64_t cap0 = capacities[0];
+  std::vector<int64_t> lvl_keys;
+  lvl_keys.reserve(cap0);
+  std::memset(counts0, 0, sizeof(float) * cap0);
+  int64_t prev = kInvalidKey;
+  int64_t vox = -1;
+  for (int64_t r = 0; r < n_points; ++r) {
+    const int64_t k = keys[r];
+    const int32_t i = order[r];
+    if (k == kInvalidKey) {
+      point_inverse[i] = static_cast<int32_t>(cap0);
+      continue;
+    }
+    if (k != prev) {
+      ++vox;
+      prev = k;
+      if (vox < cap0) lvl_keys.push_back(k);
+    }
+    if (vox < cap0) {
+      point_inverse[i] = static_cast<int32_t>(vox);
+      counts0[vox] += 1.0f;
+    } else {
+      point_inverse[i] = static_cast<int32_t>(cap0);
+    }
+  }
+
+  static const int d[27][3] = {
+      {-1, -1, -1}, {-1, -1, 0}, {-1, -1, 1}, {-1, 0, -1}, {-1, 0, 0},
+      {-1, 0, 1},   {-1, 1, -1}, {-1, 1, 0},  {-1, 1, 1},  {0, -1, -1},
+      {0, -1, 0},   {0, -1, 1},  {0, 0, -1},  {0, 0, 0},   {0, 0, 1},
+      {0, 1, -1},   {0, 1, 0},   {0, 1, 1},   {1, -1, -1}, {1, -1, 0},
+      {1, -1, 1},   {1, 0, -1},  {1, 0, 0},   {1, 0, 1},   {1, 1, -1},
+      {1, 1, 0},    {1, 1, 1}};
+
+  for (int32_t lvl = 0; lvl < n_levels; ++lvl) {
+    const int64_t cap = capacities[lvl];
+    const int64_t cur_n = static_cast<int64_t>(lvl_keys.size());
+    const int64_t block = blocks[lvl];
+    const int64_t nb = cap / block;
+    const int64_t n_sub = n_subs[lvl];
+    const int64_t sub_rows = block / n_sub;
+    const int64_t align = aligns[lvl];
+    const int64_t* wg = windows + lvl * 3;
+    const int64_t* ws27 = wsubs + lvl * 27;
+    const int64_t* kptr = lvl_keys.data();
+    uint8_t* vl = valids[lvl];
+    pfor(cap, n_threads, [&](int64_t i) { vl[i] = i < cur_n; });
+
+    int32_t* bs = bases[lvl];
+    int32_t* so = sub_offs_out[lvl];
+    int16_t* rl = rel_out[lvl];
+    int32_t* ac = active_out[lvl];
+    int32_t* nbr_full = want_neighbors ? neighbors[lvl] : nullptr;
+    if (nbr_full) {
+      pfor((cap - cur_n) * 27, n_threads, [&](int64_t i) {
+        nbr_full[cur_n * 27 + i] = static_cast<int32_t>(cap);
+      });
+    }
+    constexpr int kGrp = 9;
+    constexpr int kNGrp = 3;
+    const int32_t kInt32Max = INT32_MAX;
+    std::vector<std::vector<int64_t>> block_miss(nb);
+
+    pfor(nb, n_threads, [&](int64_t kb) {
+      // --- Produce this block's 27 neighbor columns into scratch: per
+      // offset a two-pointer merge stream, re-anchored by binary search
+      // (queries qk = k + dk are monotone within the block, so the stream
+      // equals np.searchsorted on every row).
+      thread_local std::vector<int32_t> scratch;
+      scratch.resize(block * 27);
+      int32_t* nb_ptr = scratch.data();
+      const int64_t row0 = kb * block;
+      const int64_t rows_real = std::clamp<int64_t>(cur_n - row0, 0, block);
+      int64_t jptr[27];
+      int64_t dk[27];
+      for (int o = 0; o < 27; ++o) {
+        dk[o] = static_cast<int64_t>(d[o][0]) * (1LL << 24) +
+                static_cast<int64_t>(d[o][1]) * (1LL << 12) +
+                static_cast<int64_t>(d[o][2]);
+        jptr[o] = 0;
+        if (rows_real > 0 && o != 13) {
+          // Anchor: first in-range row's query key (monotone after).
+          jptr[o] = std::lower_bound(kptr, kptr + cur_n, kptr[row0] + dk[o]) -
+                    kptr;
+        }
+      }
+      for (int64_t r = 0; r < rows_real; ++r) {
+        const int64_t k = kptr[row0 + r];
+        const int64_t x = (k >> 24) & 4095, y = (k >> 12) & 4095,
+                      z = k & 4095;
+        int32_t* out_row = nb_ptr + r * 27;
+        for (int o = 0; o < 27; ++o) {
+          if (o == 13) {
+            out_row[o] = static_cast<int32_t>(row0 + r);
+            continue;
+          }
+          const int64_t qx = x + d[o][0], qy = y + d[o][1], qz = z + d[o][2];
+          if (qx < 0 || qx > 4095 || qy < 0 || qy > 4095 || qz < 0 ||
+              qz > 4095) {
+            out_row[o] = static_cast<int32_t>(cap);
+            continue;
+          }
+          const int64_t qk = k + dk[o];
+          int64_t j = jptr[o];
+          while (j < cur_n && kptr[j] < qk) ++j;
+          jptr[o] = j;
+          out_row[o] =
+              static_cast<int32_t>((j < cur_n && kptr[j] == qk) ? j : cap);
+        }
+      }
+      for (int64_t r = rows_real; r < block; ++r)
+        for (int o = 0; o < 27; ++o)
+          nb_ptr[r * 27 + o] = static_cast<int32_t>(cap);
+      if (nbr_full && rows_real > 0)
+        std::memcpy(nbr_full + row0 * 27, nb_ptr,
+                    sizeof(int32_t) * rows_real * 27);
+
+      // --- Banded emission (same body as unidet3d_build_banded's per-kb
+      // lambda, reading the scratch).
+      int32_t any_valid = 0;
+      int64_t gbase[kNGrp];
+      for (int g = 0; g < kNGrp; ++g) {
+        int32_t mn = kInt32Max;
+        for (int64_t r = 0; r < block; ++r) {
+          for (int o = g * kGrp; o < (g + 1) * kGrp; ++o) {
+            int32_t idx = nb_ptr[r * 27 + o];
+            if (idx < cap && idx < mn) mn = idx;
+          }
+        }
+        if (mn != kInt32Max) any_valid = 1;
+        int64_t base = (mn == kInt32Max) ? 0 : mn;
+        base = std::min<int64_t>(base, std::max<int64_t>(cap - 1, 0));
+        base -= base % align;
+        gbase[g] = base;
+        bs[kb * kNGrp + g] = static_cast<int32_t>(base);
+      }
+      for (int o = 0; o < 27; ++o) {
+        const int64_t base = gbase[o / kGrp];
+        const int64_t w = wg[o / kGrp], wsv = ws27[o];
+        int64_t lim = std::max<int64_t>(w - wsv, 0);
+        lim -= lim % align;
+        for (int64_t sg = 0; sg < n_sub; ++sg) {
+          int32_t smn = kInt32Max;
+          for (int64_t r = sg * sub_rows; r < (sg + 1) * sub_rows; ++r) {
+            int32_t idx = nb_ptr[r * 27 + o];
+            if (idx < cap && idx < smn) smn = idx;
+          }
+          int64_t soff = ((smn == kInt32Max) ? 0 : smn) - base;
+          soff -= ((soff % align) + align) % align;
+          soff = std::clamp<int64_t>(soff, 0, lim);
+          const int64_t shift = base + soff;
+          bool any_in_band = false;
+          for (int64_t r = sg * sub_rows; r < (sg + 1) * sub_rows; ++r) {
+            const int64_t row = kb * block + r;
+            int32_t idx = nb_ptr[r * 27 + o];
+            bool val = idx < cap;
+            int64_t rv = idx - shift;
+            bool in_band = val && rv >= 0 && rv < wsv;
+            any_in_band |= in_band;
+            rl[o * cap + row] =
+                in_band ? static_cast<int16_t>(rv) : int16_t(-1);
+            if (val && !in_band)
+              // (o, row, idx) packed in 5+22+22 bits; sorting by the packed
+              // value orders by (o, row) since idx is a function of them.
+              block_miss[kb].push_back((static_cast<int64_t>(o) << 44) |
+                                       (row << 22) | idx);
+          }
+          so[(kb * n_sub + sg) * 27 + o] =
+              any_in_band ? static_cast<int32_t>(soff) : -16;
+        }
+      }
+      ac[kb] = any_valid;
+    }, /*min_serial=*/1);
+
+    // Misses ordered by (offset, row), matching np.nonzero on the (K, V)
+    // miss table; neighbor values ride in the packed entries.
+    std::vector<int64_t> all;
+    for (auto& bm : block_miss) all.insert(all.end(), bm.begin(), bm.end());
+    std::sort(all.begin(), all.end());
+    n_miss[lvl] = static_cast<int64_t>(all.size());
+    const int64_t mcap = miss_caps[lvl];
+    const int64_t kept = std::min<int64_t>(n_miss[lvl], mcap);
+    int32_t* mr = miss_rows[lvl];
+    int32_t* mn_ = miss_nbrs[lvl];
+    int32_t* mo = miss_offs[lvl];
+    pfor(mcap, n_threads, [&](int64_t m) {
+      if (m >= kept) {
+        mr[m] = 1 << 30;
+        mn_[m] = 1 << 30;
+        mo[m] = 0;
+        return;
+      }
+      mr[m] = static_cast<int32_t>((all[m] >> 22) & ((1 << 22) - 1));
+      mn_[m] = static_cast<int32_t>(all[m] & ((1 << 22) - 1));
+      mo[m] = static_cast<int32_t>(all[m] >> 44);
+    });
+
+    if (lvl == n_levels - 1) break;
+
+    // Downsample transition (same as unidet3d_build_gridpack).
+    const int64_t ncap = capacities[lvl + 1];
+    std::vector<int64_t> pk(cur_n);
+    pfor(cur_n, n_threads, [&](int64_t i) {
+      int64_t k = kptr[i];
+      pk[i] = pack(k >> 36, ((k >> 24) & 4095) >> 1, ((k >> 12) & 4095) >> 1,
+                   (k & 4095) >> 1);
+    });
+    std::vector<int64_t> uniq(pk);
+    std::sort(uniq.begin(), uniq.end());
+    uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+    int64_t nn = std::min<int64_t>(static_cast<int64_t>(uniq.size()), ncap);
+    int32_t* par = parents[lvl];
+    int32_t* off = offsets[lvl];
+    pfor(cap, n_threads, [&](int64_t i) {
+      par[i] = static_cast<int32_t>(ncap);
+      off[i] = 0;
+    });
+    const int64_t* uptr = uniq.data();
+    pfor(cur_n, n_threads, [&](int64_t i) {
+      const int64_t* it = std::lower_bound(uptr, uptr + uniq.size(), pk[i]);
+      int64_t j = it - uptr;
+      par[i] = static_cast<int32_t>(j < ncap ? j : ncap);
+      int64_t k = kptr[i];
+      int64_t x = (k >> 24) & 4095, y = (k >> 12) & 4095, z = k & 4095;
+      off[i] = static_cast<int32_t>((x & 1) * 4 + (y & 1) * 2 + (z & 1));
+    });
+    uniq.resize(nn);
+    lvl_keys = std::move(uniq);
   }
 }
 

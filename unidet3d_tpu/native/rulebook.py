@@ -57,6 +57,7 @@ def _load():
         lib = ctypes.CDLL(_LIB)
         lib.unidet3d_build_gridpack.restype = None
         lib.unidet3d_build_banded.restype = None
+        lib.unidet3d_build_packs_fused.restype = None
         _lib = lib
     except Exception:
         _lib = None
@@ -122,6 +123,123 @@ def build_gridpack(
         point_inverse=point_inverse,
     )
     return pack, counts0
+
+
+def build_packs_fused(
+    vox_src: np.ndarray,
+    valid: np.ndarray,
+    capacities: Sequence[int],
+    blocks: Sequence[int],
+    windows: np.ndarray,       # (L, 3)
+    wsubs: np.ndarray,         # (L, 27)
+    n_subs: Sequence[int],
+    miss_caps: Sequence[int],  # transport lengths (2 tiers concatenated)
+    aligns: Sequence[int],
+    want_neighbors: bool = False,
+    n_threads: int | None = None,
+):
+    """ONE-CALL fused pack build: quantize + gridpack + per-level banded
+    rulebooks, skipping the (V, 27) neighbor tables unless asked (they are
+    dead weight on the pallas path — see rulebook.cc). Bit-exact with
+    quantize_points -> build_gridpack -> per-level build_banded, except rel
+    is emitted int16 (the wire dtype; values in [-1, wsub)).
+
+    Returns (GridPack with .banded set (neighbors = (0, 27) placeholders
+    unless want_neighbors), counts0, n_miss_totals (L,))."""
+    from ..ops.gridpack import BandedPack, GridPack
+
+    lib = _load()
+    assert lib is not None, "native rulebook library unavailable"
+    b, p, _ = vox_src.shape
+    n_levels = len(capacities)
+    # Miss entries pack (o, row, idx) in 5+22+22 bits (rulebook.cc).
+    assert max(capacities) < (1 << 22), capacities
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+
+    vox_src = np.ascontiguousarray(vox_src, np.float32)
+    valid_c = np.ascontiguousarray(valid, np.uint8)
+    caps = np.asarray(capacities, np.int64)
+    blocks_a = np.asarray(blocks, np.int64)
+    windows_a = np.ascontiguousarray(windows, np.int64).reshape(n_levels, 3)
+    wsubs_a = np.ascontiguousarray(wsubs, np.int64).reshape(n_levels, 27)
+    n_subs_a = np.asarray(n_subs, np.int64)
+    mcaps = np.asarray(miss_caps, np.int64)
+    aligns_a = np.asarray(aligns, np.int64)
+
+    point_inverse = np.empty(b * p, np.int32)
+    counts0 = np.empty(capacities[0], np.float32)
+    valids = [np.empty(c, np.uint8) for c in capacities]
+    parents = [np.empty(c, np.int32) for c in capacities[:-1]]
+    offsets = [np.empty(c, np.int32) for c in capacities[:-1]]
+    neighbors = (
+        [np.empty((c, 27), np.int32) for c in capacities]
+        if want_neighbors
+        else [np.empty((1, 27), np.int32) for _ in capacities]
+    )
+    bases = [np.empty((c // bl, 3), np.int32)
+             for c, bl in zip(capacities, blocks_a)]
+    sub_offs = [np.empty((c // bl, ns, 27), np.int32)
+                for c, bl, ns in zip(capacities, blocks_a, n_subs_a)]
+    rel = [np.empty((27, c), np.int16) for c in capacities]
+    active = [np.empty(c // bl, np.int32)
+              for c, bl in zip(capacities, blocks_a)]
+    miss_rows = [np.empty(m, np.int32) for m in mcaps]
+    miss_nbrs = [np.empty(m, np.int32) for m in mcaps]
+    miss_offs = [np.empty(m, np.int32) for m in mcaps]
+    n_miss = np.zeros(n_levels, np.int64)
+
+    def ptr_array(arrs, ty):
+        return (ctypes.POINTER(ty) * len(arrs))(
+            *[a.ctypes.data_as(ctypes.POINTER(ty)) for a in arrs]
+        )
+
+    def p64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    lib.unidet3d_build_packs_fused(
+        vox_src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        valid_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(b), ctypes.c_int64(p),
+        p64(caps), ctypes.c_int32(n_levels), ctypes.c_int32(n_threads),
+        p64(blocks_a), p64(windows_a), p64(wsubs_a), p64(n_subs_a),
+        p64(mcaps), p64(aligns_a),
+        ctypes.c_int32(1 if want_neighbors else 0),
+        point_inverse.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        counts0.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ptr_array(valids, ctypes.c_uint8),
+        ptr_array(parents, ctypes.c_int32) if parents else None,
+        ptr_array(offsets, ctypes.c_int32) if offsets else None,
+        ptr_array(neighbors, ctypes.c_int32),
+        ptr_array(bases, ctypes.c_int32),
+        ptr_array(sub_offs, ctypes.c_int32),
+        ptr_array(rel, ctypes.c_int16),
+        ptr_array(active, ctypes.c_int32),
+        ptr_array(miss_rows, ctypes.c_int32),
+        ptr_array(miss_nbrs, ctypes.c_int32),
+        ptr_array(miss_offs, ctypes.c_int32),
+        n_miss.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    half = [int(m) // 2 for m in mcaps]
+    banded = BandedPack(
+        bases=tuple(bases),
+        sub_offs=tuple(sub_offs),
+        rel=tuple(rel),
+        active=tuple(active),
+        miss_rows=tuple(r.reshape(2, h) for r, h in zip(miss_rows, half)),
+        miss_nbrs=tuple(r.reshape(2, h) for r, h in zip(miss_nbrs, half)),
+        miss_offs=tuple(r.reshape(2, h) for r, h in zip(miss_offs, half)),
+    )
+    pack = GridPack(
+        valid=tuple(v.astype(bool) for v in valids),
+        neighbors=tuple(neighbors) if want_neighbors
+        else tuple(np.empty((0, 27), np.int32) for _ in capacities),
+        parent=tuple(parents),
+        offset_code=tuple(offsets),
+        point_inverse=point_inverse,
+        banded=banded,
+    )
+    return pack, counts0, tuple(int(x) for x in n_miss)
 
 
 def build_banded(

@@ -235,6 +235,63 @@ def quantize_points(vox_src: np.ndarray, valid: np.ndarray) -> np.ndarray:
     )
 
 
+def build_fused_pack_host(
+    vox_src: np.ndarray,
+    valid: np.ndarray,
+    cfg,
+    num_threads: int | None = None,
+    want_neighbors: bool = False,
+):
+    """Fused native pack build for the pallas conv path: quantize +
+    gridpack + banded rulebooks in one C++ call that never materialises
+    the (V, 27) neighbor tables (native/rulebook.cc fused entry) — they
+    are dead on the pallas device path, and on single-core pipeline hosts
+    their ~110 MB of writes+re-reads WAS the dominant pack cost. Returns
+    (GridPack with .banded, counts0) or None when the native library is
+    unavailable (callers fall back to the two-phase flow). rel leaves are
+    int16 (wire dtype); the model casts on device.
+    """
+    from ..native import rulebook as native_rb
+    from .pallas_conv import (
+        n_subgroups, offset_windows, warn_miss_overflow,
+    )
+
+    if not native_rb.available():
+        return None
+    b = vox_src.shape[0]
+    caps = list(cfg.level_capacities(b))
+    blocks = [min(512, c) for c in caps]
+    windows = np.stack(
+        [
+            np.broadcast_to(np.asarray(w, np.int64), (3,))
+            for w in cfg.level_conv_windows()
+        ]
+    )
+    wsubs = np.stack(
+        [
+            np.minimum(
+                np.broadcast_to(np.asarray(ws, np.int64), (27,)),
+                offset_windows(windows[lvl], 27),
+            )
+            for lvl, ws in enumerate(cfg.level_conv_subwindows())
+        ]
+    )
+    # Per-level per-tier caps scaled by the scenes in this shard group;
+    # transport = 2 tiers concatenated.
+    miss_caps = [m * b for m in cfg.level_miss_caps()]
+    pack, counts0, n_miss = native_rb.build_packs_fused(
+        vox_src, valid, caps, blocks, windows, wsubs,
+        n_subs=[n_subgroups(bl) for bl in blocks],
+        miss_caps=[2 * m for m in miss_caps],
+        aligns=list(cfg.level_pack_align()),
+        want_neighbors=want_neighbors,
+        n_threads=num_threads,
+    )
+    for total, mcap in zip(n_miss, miss_caps):
+        warn_miss_overflow(total, mcap)
+    return pack, counts0
+
+
 class BandedPack(NamedTuple):
     """Per-level two-level banded rulebooks for the pallas subm conv (see
     ops/pallas_conv.py). All leaves are arrays (pytree-safe):
@@ -260,7 +317,7 @@ def build_banded_pack(
     block: int = 512,
     window=704,
     wsub=None,
-    miss_cap: int = 16384,
+    miss_cap=16384,
     align=16,
     num_threads: int | None = None,
 ) -> BandedPack:
@@ -270,9 +327,10 @@ def build_banded_pack(
     int or a (3,) per-GROUP width tuple (ModelConfig.level_conv_windows —
     one shared DMA window per dx slab of 9 offsets). `wsub`: int or
     per-level entries of int / (27,) per-offset widths
-    (ModelConfig.level_conv_subwindows). `align`: int or per-level ints —
-    base/sub_offs alignment, 16 * the level's max channel-packing factor
-    (ModelConfig.level_pack_align)."""
+    (ModelConfig.level_conv_subwindows). `miss_cap`: per-tier correction
+    capacity — int (uniform) or per-level ints. `align`: int or per-level
+    ints — base/sub_offs alignment, 16 * the level's max channel-packing
+    factor (ModelConfig.level_pack_align)."""
     from .pallas_conv import (
         build_banded_rulebook,
         build_miss_list,
@@ -289,6 +347,7 @@ def build_banded_pack(
     windows = per_level(window)
     wsubs = per_level(wsub)
     aligns = per_level(align)
+    miss_caps = per_level(miss_cap)
 
     from ..native import rulebook as native_rb
     from .pallas_conv import n_subgroups
@@ -299,6 +358,7 @@ def build_banded_pack(
         nbr = np.asarray(pack.neighbors[lvl])
         b = min(block, cap)
         al = int(aligns[lvl] if aligns[lvl] is not None else 16)
+        mcap = int(miss_caps[lvl])
         if use_native:
             from .pallas_conv import offset_windows
 
@@ -311,22 +371,22 @@ def build_banded_pack(
             # Collect up to 2*cap entries; Python reshapes into the
             # two-tier (2, cap) transport form (tier 1 = lax.cond spill).
             (bs, so, rl, ac, rows, nbrs, offs, total) = native_rb.build_banded(
-                nbr, cap, b, w3, ws27, n_subgroups(b), 2 * miss_cap,
+                nbr, cap, b, w3, ws27, n_subgroups(b), 2 * mcap,
                 align=al, n_threads=num_threads,
             )
-            warn_miss_overflow(total, miss_cap)
+            warn_miss_overflow(total, mcap)
             bases.append(bs)
             soffs.append(so)
             rel.append(rl)
             act.append(ac)
-            mr.append(rows.reshape(2, miss_cap))
-            mn.append(nbrs.reshape(2, miss_cap))
-            mo.append(offs.reshape(2, miss_cap))
+            mr.append(rows.reshape(2, mcap))
+            mn.append(nbrs.reshape(2, mcap))
+            mo.append(offs.reshape(2, mcap))
             continue
         rb = build_banded_rulebook(
             nbr, cap, block=b, window=windows[lvl], wsub=wsubs[lvl], align=al
         )
-        ml = build_miss_list(rb.miss_idx, cap, miss_cap)
+        ml = build_miss_list(rb.miss_idx, cap, mcap)
         bases.append(rb.bases)
         soffs.append(rb.sub_offs)
         rel.append(rb.rel)

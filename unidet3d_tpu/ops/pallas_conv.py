@@ -578,6 +578,13 @@ def subm_conv_pallas(
                      pipeline),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, sub, _LANE, cout), jnp.float32),
+        # The cross-block DMA prefetch (block kb starts kb+1's window
+        # copies into the other parity buffer) requires the 1D grid to
+        # execute SEQUENTIALLY — declare it, so a future 'parallel' /
+        # megacore default can't silently introduce a buffer race.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
         interpret=interpret,
     )(
         # Flat SMEM tables (see kernel note), pre-divided into packed rows.
@@ -894,6 +901,11 @@ def subm_conv_dw_pallas(
                               pred, pipeline),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(dw_shape, jnp.float32),
+        # Sequential grid required: cross-block DMA prefetch + the dW
+        # accumulator block is constant across the grid (see fwd note).
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
         interpret=interpret,
     )(
         # Flat SMEM tables, pre-divided into packed rows (see fwd).
