@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.boxes import boxes_to_corner_format
 from .iou_losses import axis_aligned_diou_loss, rotated_diou_3d_loss
@@ -39,8 +40,11 @@ class SceneGT(NamedTuple):
     query_masks: jnp.ndarray  # (G, Q) bool: query may match this GT
 
 
-_SAFE_BOX = jnp.array([0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0])
-_SAFE_BOX2 = jnp.array([0.3, 0.2, 0.1, 1.0, 1.0, 1.0, 0.4])
+# numpy on purpose: a module-level jnp.array would initialize the JAX
+# backend at import time, before CLI config files can force a platform
+# (jnp converts these at trace time inside jit anyway).
+_SAFE_BOX = np.array([0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0], np.float32)
+_SAFE_BOX2 = np.array([0.3, 0.2, 0.1, 1.0, 1.0, 1.0, 0.4], np.float32)
 
 
 def _sanitize_rot_inputs(pred, tgt, rotated):

@@ -1,8 +1,8 @@
 """Evaluation CLI.
 
-Mirror of reference tools/test.py UX:
+Mirror of reference tools/test.py UX (ref tools/test.py:124-146):
   python -m unidet3d_tpu.tools.test <config.py> <checkpoint_dir> [--step N]
-      [--show-dir D] [--cfg-options key=val ...]
+      [--show] [--show-dir D] [--cfg-options key=val ...]
 """
 from __future__ import annotations
 
@@ -15,6 +15,11 @@ def main():
     ap.add_argument("config")
     ap.add_argument("checkpoint", help="checkpoint directory (orbax)")
     ap.add_argument("--step", type=int, default=None)
+    ap.add_argument("--show", action="store_true",
+                    help="open each evaluated scene in the interactive "
+                    "open3d viewer (reference tools/test.py:124-126 --show; "
+                    "needs open3d + a display — degrades to a warning "
+                    "pointing at --show-dir otherwise)")
     ap.add_argument("--show-dir", default=None,
                     help="dump .obj visualisations here")
     ap.add_argument("--cfg-options", nargs="*", default=[])
@@ -26,16 +31,24 @@ def main():
 
     maybe_initialize()  # multi-host eval: strided shards + metric gather
 
-    import jax
+    from ..core.cache import enable_persistent_cache
+
+    enable_persistent_cache()  # second run skips every XLA recompile
 
     from ..core.experiment import apply_overrides, load_experiment
+
+    # Load the config BEFORE the heavy imports: config files may force a
+    # platform (jax.config.update("jax_platforms", ...)) and that only
+    # works while no jax array has been created yet.
+    exp = load_experiment(args.config)
+    exp = apply_overrides(exp, args.cfg_options)
+
+    import jax
+
     from ..parallel.train_step import init_state
     from ..train.checkpoint import CheckpointManager
     from ..train.loop import build_datasets, build_model, evaluate
     from ..train.optim import make_optimizer
-
-    exp = load_experiment(args.config)
-    exp = apply_overrides(exp, args.cfg_options)
 
     model, table = build_model(exp)
     # Build a state template from a minimal batch of the first val dataset.
@@ -57,7 +70,8 @@ def main():
 
     state = TrainState(*restored)
 
-    results = evaluate(exp, state, model, table, show_dir=args.show_dir)
+    results = evaluate(exp, state, model, table, show_dir=args.show_dir,
+                       show=args.show)
     if args.show_dir:
         logging.info("visualisations written to %s", args.show_dir)
     for name, res in results.items():

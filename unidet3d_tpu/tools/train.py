@@ -36,7 +36,11 @@ def main():
     ap.add_argument(
         "--auto-scale-lr", action="store_true",
         help="linearly scale the configured lr by global batch_size / "
-        "base_batch_size (reference tools/train.py:37-47 semantics)",
+        "base_batch_size. (The reference exposes the same flag, handled "
+        "at its tools/train.py:102-110 — though with its shipped configs, "
+        "which define no auto_scale_lr block, that path raises; here "
+        "base_batch_size defaults to the 8 implied by the reference's "
+        "'1xb8' config naming.)",
     )
     args = ap.parse_args()
 
@@ -53,10 +57,17 @@ def main():
 
     maybe_initialize()
 
-    from ..core.experiment import apply_overrides, load_experiment
-    from ..train.loop import train
+    from ..core.cache import enable_persistent_cache
 
+    enable_persistent_cache()  # second run skips every XLA recompile
+
+    from ..core.experiment import apply_overrides, load_experiment
+
+    # Load the config BEFORE the heavy train-loop import: config files may
+    # force a platform (jax.config.update("jax_platforms", ...)) and that
+    # only works while no jax array has been created yet.
     exp = load_experiment(args.config)
+    from ..train.loop import train
     exp = apply_overrides(exp, args.cfg_options)
     if args.work_dir:
         exp = dataclasses.replace(exp, work_dir=args.work_dir)

@@ -92,6 +92,8 @@ def train(exp: ExperimentConfig, resume: str | None = None):
     os.makedirs(exp.work_dir, exist_ok=True)
     model, table = build_model(exp)
     mesh = create_mesh()
+    log.info("backend=%s devices=%s", jax.default_backend(),
+             [str(d) for d in mesh.devices.flat])
     n_dev = mesh.devices.size
     assert exp.batch_size % n_dev == 0, (
         f"batch_size {exp.batch_size} must divide over {n_dev} devices"
@@ -224,7 +226,7 @@ def train(exp: ExperimentConfig, resume: str | None = None):
 
 
 def evaluate(exp: ExperimentConfig, state, model=None, table=None,
-             logger=None, show_dir: str | None = None):
+             logger=None, show_dir: str | None = None, show: bool = False):
     """Run per-dataset validation (reference TestLoop semantics,
     SURVEY.md §3.2 — which is bs=1 only, unidet3d.py:475-538).
 
@@ -233,8 +235,10 @@ def evaluate(exp: ExperimentConfig, state, model=None, table=None,
     over the mesh `data` axis, and post-processing runs one device dispatch
     per scene GROUP (predict_batch). In multi-process runs every process
     evaluates its dataset shard and results are all-gathered before
-    compute(). `show_dir` dumps .obj visualizations per scene (reference
-    tools/test.py:124-126 --show-dir)."""
+    compute(). `show_dir` dumps .obj visualizations per scene; `show`
+    opens each scene in the interactive open3d viewer (reference
+    tools/test.py:124-126 --show / --show-dir) and degrades to a one-time
+    warning when open3d is unavailable."""
     if model is None:
         model, table = build_model(exp)
     cfg = exp.model
@@ -282,7 +286,16 @@ def evaluate(exp: ExperimentConfig, state, model=None, table=None,
         )
         scene_base = 0
         for samples, batch_np, gt_np, pack_np, n_real, cfg_b in loader:
-            batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
+            # vox_src is DEAD in the eval trace (inference keeps raw point
+            # coordinates — models/detector.py geometry frames) and jit
+            # prunes unused args, so leaving it as numpy skips its wire
+            # transfer entirely; everything else is staged once and shared
+            # by the forward and postprocess dispatches. The pallas path's
+            # pack already ships without neighbor tables (fused builder).
+            batch = batch_np._replace(**{
+                k: jnp.asarray(v)
+                for k, v in batch_np._asdict().items() if k != "vox_src"
+            })
             pack = jax.tree_util.tree_map(jnp.asarray, pack_np)
             cls_logits, boxes, qvalid = fwd_for(cfg_b)(
                 state.params, state.batch_stats, batch, pack
@@ -306,11 +319,12 @@ def evaluate(exp: ExperimentConfig, state, model=None, table=None,
                     det.valid[i],
                     gt_boxes, sample["gt_labels_3d"],
                 )
+                if show_dir or show:
+                    keep = np.asarray(det.valid[i], bool)
+                    pred = det.boxes[i][keep]
                 if show_dir:
                     from ..viz.show_results import show_result
 
-                    keep = np.asarray(det.valid[i], bool)
-                    pred = det.boxes[i][keep]
                     name = (f"{cfg.datasets[didx]}_"
                             f"scene{scene_base + i:05d}")
                     show_result(
@@ -318,6 +332,19 @@ def evaluate(exp: ExperimentConfig, state, model=None, table=None,
                         np.asarray(sample["points"], np.float32),
                         gt_boxes, pred,
                     )
+                if show:
+                    # Interactive per-scene viewer (reference --show,
+                    # tools/test.py:124-126). Gated gracefully: without
+                    # open3d warn ONCE and keep evaluating.
+                    try:
+                        from ..viz.show_results import show_online
+
+                        show_online(
+                            np.asarray(sample["points"], np.float32), pred
+                        )
+                    except ImportError as e:
+                        log.warning("--show disabled: %s", e)
+                        show = False
             scene_base += n_real
             n_scenes += n_real
     dt = max(time.time() - t0, 1e-9)
