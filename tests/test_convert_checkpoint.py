@@ -181,3 +181,41 @@ def test_conv_kernel_layouts():
     w_rskc = np.random.randn(3, 3, 3, 4, 8)
     out2 = _conv_kernel(w_rskc, 3)
     np.testing.assert_allclose(out2[26], w_rskc[2, 2, 2])
+
+
+def test_real_ckpt_key_variants():
+    """Real .pth robustness (VERDICT r4 next #5): a uniform `module.` DDP
+    prefix is stripped, `num_batches_tracked` buffers and unknown extras are
+    REPORTED (never a KeyError), and a genuinely missing key raises with
+    the nearest present names."""
+    planes = (4, 8)
+    sd = _make_reference_state_dict(planes, d_model=16, heads=2, layers=1,
+                                    n_cls=5)
+    base = convert_torch_state_dict(
+        sd, num_levels=len(planes), num_layers=1, d_model=16, num_heads=2
+    )
+
+    # module.-prefixed + BN bookkeeping buffers + an unknown extra.
+    wrapped = {f"module.{k}": v for k, v in sd.items()}
+    wrapped["module.output_layer.0.num_batches_tracked"] = torch.tensor(3)
+    wrapped["module.ema_decay"] = torch.tensor(0.999)
+    report = {}
+    tree = convert_torch_state_dict(
+        wrapped, num_levels=len(planes), num_layers=1, d_model=16,
+        num_heads=2, report=report,
+    )
+    np.testing.assert_array_equal(
+        tree["params"]["backbone"]["input_conv"]["kernel"],
+        base["params"]["backbone"]["input_conv"]["kernel"],
+    )
+    assert report["unexpected"] == ["ema_decay"], report
+    assert report["consumed"] == len(sd)
+
+    # Missing key -> explicit KeyError naming close candidates.
+    broken = dict(sd)
+    del broken["decoder.out_norm.weight"]
+    with pytest.raises(KeyError, match="decoder.out_norm"):
+        convert_torch_state_dict(
+            broken, num_levels=len(planes), num_layers=1, d_model=16,
+            num_heads=2,
+        )

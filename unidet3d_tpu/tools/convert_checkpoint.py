@@ -16,6 +16,13 @@ Layout notes:
     flax (d, heads, head_dim); out_proj reshapes to (heads, head_dim, d).
   * BN: weight/bias -> scale/bias; running stats -> batch_stats.
 
+Robustness (real checkpoints diverge from synthetic twins in key names
+alone): `module.`/`model.` wrapper prefixes are stripped, `num_batches_
+tracked` buffers are ignored, any key the conversion never consumed is
+reported explicitly (not silently dropped), and a missing key raises a
+KeyError that lists the nearest names present in the file instead of a
+bare miss.
+
 Usage:
   python -m unidet3d_tpu.tools.convert_checkpoint unidet3d.pth out_dir \
       [--planes 32 64 96 128 160] [--d-model 256] [--heads 8]
@@ -23,9 +30,57 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import difflib
 from typing import Dict
 
 import numpy as np
+
+# Buffer suffixes that exist in torch BN state but have no JAX counterpart.
+_IGNORED_SUFFIXES = (".num_batches_tracked",)
+# DDP / EMA wrapper prefixes seen in real .pth files.
+_WRAPPER_PREFIXES = ("module.", "model.")
+
+
+def normalize_state_dict(sd: dict) -> dict:
+    """Strip a uniform DDP/EMA wrapper prefix (`module.` / `model.`) when
+    EVERY key carries it — real checkpoints saved through
+    MMDistributedDataParallel do (reference trains via mmengine wrappers,
+    tools/train.py:48-52)."""
+    keys = list(sd.keys())
+    for pre in _WRAPPER_PREFIXES:
+        if keys and all(k.startswith(pre) for k in keys):
+            return {k[len(pre):]: v for k, v in sd.items()}
+    return sd
+
+
+class _TrackedDict(dict):
+    """Records which keys the conversion consumed, and turns a miss into a
+    report naming the closest keys actually present."""
+
+    def __init__(self, sd: dict):
+        super().__init__(sd)
+        self.consumed: set = set()
+
+    def __getitem__(self, k):
+        try:
+            v = super().__getitem__(k)
+        except KeyError:
+            close = difflib.get_close_matches(k, self.keys(), n=3, cutoff=0.4)
+            raise KeyError(
+                f"checkpoint is missing expected key {k!r}"
+                + (f"; closest present keys: {close}" if close else
+                   "; no similar keys present — wrong architecture flags "
+                   "(--planes/--layers) or not a unidet3d checkpoint?")
+            ) from None
+        self.consumed.add(k)
+        return v
+
+    def unexpected(self) -> list:
+        return sorted(
+            k for k in self.keys()
+            if k not in self.consumed
+            and not k.endswith(_IGNORED_SUFFIXES)
+        )
 
 
 def _t(w):  # torch Linear -> flax Dense
@@ -84,9 +139,18 @@ def convert_torch_state_dict(
     num_layers: int = 6,
     d_model: int = 256,
     num_heads: int = 8,
+    report: dict | None = None,
 ):
-    """state_dict (torch tensors or numpy) -> {'params', 'batch_stats'}."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    """state_dict (torch tensors or numpy) -> {'params', 'batch_stats'}.
+
+    Tolerant of real-checkpoint key variants: a uniform `module.`/`model.`
+    prefix is stripped, BN `num_batches_tracked` buffers are skipped, and
+    keys the conversion does not consume are surfaced in `report`
+    (pass a dict; filled with {'unexpected': [...], 'consumed': int}) —
+    never a silent drop, never a KeyError on extras."""
+    sd = _TrackedDict(
+        {k: np.asarray(v) for k, v in normalize_state_dict(sd).items()}
+    )
     params: Dict = {"backbone": {}, "decoder": {}}
     stats: Dict = {"backbone": {}}
     bb = params["backbone"]
@@ -195,6 +259,9 @@ def convert_torch_state_dict(
         "kernel": _t(sd["decoder.out_bboxes.linear.weight"]),
         "bias": np.asarray(sd["decoder.out_bboxes.linear.bias"]),
     }
+    if report is not None:
+        report["unexpected"] = sd.unexpected()
+        report["consumed"] = len(sd.consumed)
     return {"params": params, "batch_stats": stats}
 
 
@@ -212,17 +279,25 @@ def main():
 
     ckpt = torch.load(args.checkpoint, map_location="cpu")
     sd = ckpt.get("state_dict", ckpt)
+    report: dict = {}
     tree = convert_torch_state_dict(
         sd,
         num_levels=len(args.planes),
         num_layers=args.layers,
         d_model=args.d_model,
         num_heads=args.heads,
+        report=report,
     )
     from ..train.checkpoint import save_params
 
     save_params(args.out, tree)
-    print(f"converted {len(sd)} tensors -> {args.out}")
+    print(f"converted {report.get('consumed', len(sd))} tensors -> {args.out}")
+    if report.get("unexpected"):
+        print(f"WARNING: {len(report['unexpected'])} checkpoint keys were "
+              "not consumed by the conversion (unknown to this "
+              "architecture):")
+        for k in report["unexpected"]:
+            print(f"  - {k}")
 
 
 if __name__ == "__main__":
