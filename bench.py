@@ -7,8 +7,10 @@ What is measured (and why it is honest):
   * PRIMARY: batched (bs=8) capacity-bucketed inference over a mix of
     surface-like synthetic scenes (data/synthetic.py) whose point counts are
     drawn from a documented ScanNet-like spread (seeded lognormal around
-    ~90k points, clipped to [24k, 131k] — ScanNet val scans mostly exceed
-    the 131k cap; smaller rooms land in the half/quarter buckets). This is
+    ~90k points, clipped to [24k, 190k] — covering the largest uncapped
+    ScanNet val scans; smaller rooms land in the half/quarter buckets;
+    scenes are density-calibrated to real-scan surface density,
+    data/synthetic.py). This is
     the flagship deployment path: the production eval loop batches 8 scenes
     per dispatch and pads each group to the smallest capacity bucket that
     covers it (data/loader.py EvalLoader), exactly what is timed here.
@@ -148,10 +150,15 @@ def _roofline_extras(extra, prefix, seconds, flops, jfn=None, args=None):
 
 
 def _scene_mix(n_scenes: int, seed: int = 7):
-    """Seeded ScanNet-like point-count spread (see module docstring)."""
+    """Seeded ScanNet-like point-count spread (see module docstring).
+
+    Round 5: the tail extends to 190k — the reference's ScanNet pipelines
+    keep ALL points (no PointSample) and the default caps now cover that
+    (core/config.py max_points=196608), so the mix must include the
+    largest val scans instead of clipping at the old 131k cap."""
     rng = np.random.RandomState(seed)
     counts = np.exp(rng.normal(np.log(90_000.0), 0.45, size=n_scenes))
-    return np.clip(counts, 24_000, 131_072).astype(np.int64)
+    return np.clip(counts, 24_000, 190_000).astype(np.int64)
 
 
 def _scene_sp_count(cfg, n_points: int) -> int:
@@ -219,13 +226,28 @@ def _bucket_for(cfg, n_points_group):
     return out
 
 
+def _wire_group(batch_np, pack_np, spec=None):
+    """(buffer, spec) for one group — the production single-device eval
+    transport (data/wire.py, loader wire=True): vox_src ships as a 0-size
+    placeholder (dead in the eval trace)."""
+    from unidet3d_tpu.data.wire import pack_wire, spec_for
+
+    tree = (batch_np._replace(vox_src=np.zeros((0,), np.float32)), pack_np)
+    if spec is None:
+        spec = spec_for(tree)
+    buf, _ = pack_wire(tree, spec)
+    return buf, spec
+
+
 def _bench_batched_eval(cfg, variables, batch_size=4, n_scenes=24):
     # batch_size 4 = the production eval group size (train/loop.py): the
     # pallas conv's scalar-prefetch tables are SMEM-resident and 8 full-cap
     # scenes' sub_offs alone exceed the 1 MB SMEM budget.
-    """Flagship path: bs8 bucketed groups. Returns (scenes_per_sec, extra)."""
+    """Flagship path: bucketed groups over the WIRE transport (one
+    host->device buffer per group, exactly the production eval loop).
+    Returns (scenes_per_sec, extra)."""
     from unidet3d_tpu.data.batcher import build_packs
-    from unidet3d_tpu.parallel.train_step import make_eval_step
+    from unidet3d_tpu.parallel.train_step import make_eval_step_wire
 
     import __graft_entry__ as ge
 
@@ -238,26 +260,26 @@ def _bench_batched_eval(cfg, variables, batch_size=4, n_scenes=24):
     total_scenes, total_time, total_pack = 0, 0.0, 0.0
     total_flops = 0.0
     per_bucket = {}
-    group_cache = []  # (step, args, pack-build thunk) for the sustained run
+    group_cache = []  # (step, batch_np, cfg_b, n, spec) for the sustained run
     for gi, grp in enumerate(groups):
         cfg_b = _bucket_for(cfg, grp)
         batch_np = _make_group_inputs(cfg_b, grp, seed0=11 + gi)
+        key = (cfg_b.max_points, cfg_b.max_superpoints)
         t0 = time.perf_counter()
         packs_np = build_packs(
             batch_np.vox_src, batch_np.valid, cfg_b, n_shards=1
         )
+        buf, spec = _wire_group(batch_np, packs_np,
+                                steps[key][1] if key in steps else None)
         total_pack += time.perf_counter() - t0
         total_flops += _useful_forward_flops(cfg_b, packs_np, batch=len(grp))
-        batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
-        packs = jax.tree_util.tree_map(
-            lambda x: jnp.asarray(np.asarray(x)[None]), packs_np
-        )
-        key = (cfg_b.max_points, cfg_b.max_superpoints)
         if key not in steps:
-            steps[key] = make_eval_step(ge._build(cfg_b), cfg_b)
-        step = steps[key]
+            steps[key] = (
+                make_eval_step_wire(ge._build(cfg_b), cfg_b, spec), spec
+            )
+        step = steps[key][0]
         args = (variables["params"], variables.get("batch_stats", {}),
-                batch, packs)
+                jnp.asarray(buf))
         out = step(*args)
         float(jnp.sum(out[0]))  # compile + barrier
         best = float("inf")
@@ -272,8 +294,8 @@ def _bench_batched_eval(cfg, variables, batch_size=4, n_scenes=24):
         agg = per_bucket.setdefault(bk, [0, 0.0])
         agg[0] += len(grp)
         agg[1] += best
-        group_cache.append((step, batch_np, cfg_b, len(grp)))
-        del batch, packs, args, out
+        group_cache.append((step, batch_np, cfg_b, len(grp), spec))
+        del args, out, buf
     extra = {
         f"{k}_scenes_per_sec": round(v[0] / v[1], 2)
         for k, v in per_bucket.items()
@@ -313,11 +335,12 @@ def _bench_sustained(variables, group_cache, extra):
                 cursor[0] += 1
             if g >= len(group_cache):
                 break
-            step, batch_np, cfg_b, n = group_cache[g]
+            step, batch_np, cfg_b, n, spec = group_cache[g]
             packs_np = build_packs(
                 batch_np.vox_src, batch_np.valid, cfg_b, n_shards=1
             )
-            q.put((g, (step, batch_np, packs_np, n)))
+            wire_buf, _ = _wire_group(batch_np, packs_np, spec)
+            q.put((g, (step, wire_buf, n)))
         q.put(None)
 
     threads = [threading.Thread(target=producer, daemon=True)
@@ -335,14 +358,10 @@ def _bench_sustained(variables, group_cache, extra):
                 continue
             g, payload = item
             buf[g] = payload
-        step, batch_np, packs_np, n = buf.pop(next_out)
+        step, wire_buf, n = buf.pop(next_out)
         next_out += 1
-        batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
-        packs = jax.tree_util.tree_map(
-            lambda x: jnp.asarray(np.asarray(x)[None]), packs_np
-        )
         out = step(variables["params"], variables.get("batch_stats", {}),
-                   batch, packs)
+                   jnp.asarray(wire_buf))
         float(jnp.sum(out[0]))
         scenes += n
     dt = time.perf_counter() - t0
@@ -381,20 +400,27 @@ def _bench_bs1(cfg, variables, iters=20, extra=None, prefix=None):
     return sec * 1000.0
 
 
-def _bench_train(extra):
-    """Production bs8 train step (65k caps), min-of-3, compile excluded."""
+def _peak_hbm_gb():
+    """Device peak-allocation high-water mark (GB), when the backend
+    exposes memory_stats (real TPU does; CPU/interpret paths don't)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return round(stats["peak_bytes_in_use"] / 2**30, 2)
+    except Exception:
+        return None
+
+
+def _bench_train_at(extra, key, cfg, remat_label=True):
+    """bs8 train step at the given caps, min-of-3, compile excluded.
+    Records step seconds, scenes/s, approximate train MFU (fwd+bwd ~ 3x
+    forward useful FLOPs) and the HBM high-water mark."""
     import __graft_entry__ as ge
-    from unidet3d_tpu.core.config import default_config
     from unidet3d_tpu.data.batcher import build_packs
     from unidet3d_tpu.parallel.train_step import (
         create_mesh, init_state, make_train_step,
     )
     from unidet3d_tpu.train.optim import make_optimizer
 
-    cfg = default_config(
-        axis_name="data", max_points=65536, voxel_capacity=65536,
-        max_superpoints=2048, max_gts=64,
-    )
     model = ge._build(cfg)
     mesh = create_mesh(1)
     opt = make_optimizer(total_steps=100)
@@ -418,8 +444,50 @@ def _bench_train(extra):
         state, m = step(state, batch, gt, pack, jax.random.PRNGKey(2 + i))
         float(m["loss"])
         best = min(best, time.perf_counter() - t0)
-    extra["train_step_seconds_bs8_65k"] = round(best, 2)
-    extra["train_scenes_per_sec"] = round(8.0 / best, 2)
+    extra[f"train_step_seconds_{key}"] = round(best, 2)
+    extra[f"train_scenes_per_sec_{key}"] = round(8.0 / best, 2)
+    # Approximate training MFU: backward of a conv/matmul stack costs ~2x
+    # its forward, so total ~ 3x the forward's useful FLOPs. The matcher /
+    # criterion adds little (no large matmuls).
+    fwd_flops = _useful_forward_flops(
+        cfg, pack_np, batch=8, n_sp=min(cfg.query_thr, cfg.max_superpoints)
+    )
+    extra[f"train_mfu_{key}"] = round(3 * fwd_flops / best / PEAK_BF16_FLOPS,
+                                      4)
+    if remat_label:
+        extra[f"train_remat_{key}"] = bool(cfg.backbone_remat)
+    hbm = _peak_hbm_gb()
+    if hbm is not None:
+        extra[f"train_peak_hbm_gb_{key}"] = hbm
+
+
+def _bench_train(extra):
+    """Training at BOTH the 65k continuity caps and the PRODUCTION caps
+    (the default config's reference-scale budgets, VERDICT r4 next #3).
+    Production first tries remat OFF; on an OOM/compile failure it falls
+    back to backbone remat and reports which one ran."""
+    from unidet3d_tpu.core.config import default_config
+
+    cfg65 = default_config(
+        axis_name="data", max_points=65536, voxel_capacity=65536,
+        max_superpoints=2048, max_gts=64,
+    )
+    _bench_train_at(extra, "bs8_65k", cfg65, remat_label=False)
+    # Back-compat key for round-over-round comparison.
+    extra["train_scenes_per_sec"] = extra.pop("train_scenes_per_sec_bs8_65k")
+
+    prod = default_config(axis_name="data")
+    key = f"bs8_{prod.max_points // 1024}k"
+    try:
+        _bench_train_at(extra, key, dataclasses.replace(
+            prod, backbone_remat=False))
+    except Exception as e:
+        extra[f"train_{key}_noremat_error"] = repr(e)[:160]
+        try:
+            _bench_train_at(extra, key, dataclasses.replace(
+                prod, backbone_remat=True))
+        except Exception as e2:  # keep the 65k numbers either way
+            extra[f"train_{key}_error"] = repr(e2)[:160]
 
 
 def main():
@@ -431,10 +499,13 @@ def main():
     # PRIMARY: flagship batched bucketed inference.
     scenes_per_sec, extra = _bench_batched_eval(cfg_prod, variables)
 
-    # Continuity numbers (cheap: cached compiles).
+    # Continuity numbers (cheap: cached compiles). The bs1 full-cap key is
+    # named from the actual cap (192k since round 5; 131k before).
     try:
-        extra["ms_per_scene_131k_bs1"] = round(
-            _bench_bs1(cfg_prod, variables, extra=extra, prefix="fwd_131k"),
+        cap_k = f"{cfg_prod.max_points // 1024}k"
+        extra[f"ms_per_scene_{cap_k}_bs1"] = round(
+            _bench_bs1(cfg_prod, variables, extra=extra,
+                       prefix=f"fwd_{cap_k}"),
             1,
         )
         cfg_small = default_config(

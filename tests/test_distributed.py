@@ -154,3 +154,129 @@ def test_two_process_train_step():
     assert losses[0] == losses[1], losses
     ref = _reference_loss()
     np.testing.assert_allclose(losses[0], ref, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Multi-process EVAL: strided shards + metric all-gather (VERDICT r4 next #6)
+# ---------------------------------------------------------------------------
+
+
+def eval_exp(data_root):
+    """Experiment over a shared on-disk fake dataset, sized so CPU eval
+    compiles once (single capacity bucket) and runs in seconds."""
+    from unidet3d_tpu.core.experiment import DatasetSpec, ExperimentConfig
+
+    cfg = small_config(
+        axis_name="data",
+        compute_dtype="float32",
+        max_points=1024,
+        voxel_capacity=1024,
+        max_superpoints=48,
+        max_gts=8,
+        query_thr=24,
+        num_planes=(4, 8),
+        d_model=16,
+        num_heads=2,
+        hidden_dim=32,
+        num_layers=1,
+        topk_insts=32,
+    )
+    return ExperimentConfig(
+        model=cfg,
+        datasets=(DatasetSpec(name="scannet", data_root=data_root,
+                              ann_val="infos.pkl"),),
+        batch_size=8,
+        eval_batch_size=8,
+        epochs=1,
+        work_dir=os.path.join(data_root, "work"),
+    )
+
+
+def eval_state(exp):
+    """Deterministic seeded state — identical on every process."""
+    from unidet3d_tpu.data.batcher import collate
+    from unidet3d_tpu.parallel.train_step import init_state
+    from unidet3d_tpu.train.loop import build_datasets, build_model
+    from unidet3d_tpu.train.optim import make_optimizer
+
+    model, table = build_model(exp)
+    ds = build_datasets(exp, "val")[0]
+    batch_np, _, _ = collate([ds[0]], exp.model, training=False)
+    ex = jax.tree_util.tree_map(lambda x: jnp.asarray(x[:1]), batch_np)
+    state = init_state(model, exp.model, make_optimizer(total_steps=1), ex,
+                       jax.random.PRNGKey(0))
+    return state, model, table
+
+
+def test_two_process_eval_gather(tmp_path):
+    """End-to-end multi-process EVAL (train/loop.py evaluate + EvalLoader
+    strided shards + metric.gather_across_processes): two REAL processes
+    each evaluate a disjoint half of the dataset, and both must end with
+    the identical COMPLETE metrics — equal to a single-process evaluate on
+    the same data (a process that failed to gather the other's shard would
+    compute over half the GT and diverge)."""
+    import json
+
+    from tests.test_data_pipeline import write_fake_dataset
+
+    root = str(tmp_path / "scannet")
+    write_fake_dataset(root, n_scenes=6)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        JAX_ENABLE_X64="0",
+    )
+    env.pop("JAX_NUM_PROCESSES", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "tests._dist_eval_worker", str(i),
+             str(port), root],
+            env=env, cwd=repo, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    results = {}
+    for out, p in zip(outs, procs):
+        assert p.returncode == 0, f"eval worker failed:\n{out}"
+        for line in out.splitlines():
+            if line.startswith("RESULTS "):
+                _, pid, blob = line.split(" ", 2)
+                results[int(pid)] = json.loads(blob)
+    assert set(results) == {0, 1}, f"missing RESULTS lines:\n{outs}"
+    # Gathered union -> identical metrics everywhere.
+    assert results[0] == results[1], (results[0], results[1])
+
+    # Single-process reference over the SAME scenes and state.
+    from unidet3d_tpu.train.loop import evaluate
+
+    exp = eval_exp(root)
+    state, model, table = eval_state(exp)
+    ref = evaluate(exp, state, model, table, logger=None)
+    ref_digest = {
+        name: {k: round(float(v), 6) for k, v in sorted(res.items())}
+        for name, res in sorted(ref.items())
+    }
+    assert set(results[0]) == set(ref_digest)
+    for name in ref_digest:
+        for k, v in ref_digest[name].items():
+            np.testing.assert_allclose(
+                results[0][name][k], v, atol=1e-4,
+                err_msg=f"{name}/{k} diverged from single-process eval",
+            )

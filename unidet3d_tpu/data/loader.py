@@ -195,15 +195,22 @@ class EvalLoader:
     how many leading scenes are genuine.
     Yields (samples, PointBatch, GTBatch, packs, n_real, cfg) where
     `packs` is the stacked per-shard transport form (batcher.build_packs).
+    With `wire=True` (single-shard eval), the PointBatch slot is None and
+    `packs` is a `(uint8 buffer, WireSpec)` pair instead — the whole group
+    in ONE host->device transfer (data/wire.py; consumed by
+    parallel/train_step.make_eval_step_wire).
     """
 
     def __init__(self, dataset, cfg: ModelConfig, batch_size: int,
                  n_shards: int = 1, prefetch: int = 2,
                  buckets: tuple | None = None, sort_by_size: bool = True,
                  shard_idx: int = 0, shard_count: int = 1,
-                 num_threads: int | None = None):
+                 num_threads: int | None = None, wire: bool = False):
         assert batch_size % n_shards == 0, (batch_size, n_shards)
         assert 0 <= shard_idx < shard_count, (shard_idx, shard_count)
+        assert not (wire and n_shards != 1), "wire transport is single-shard"
+        self.wire = wire
+        self._wire_specs: dict = {}  # bucket key -> WireSpec (lock-guarded)
         if num_threads is None:
             # Pack building is the dominant host cost (~0.1 s/scene after
             # the fused native builder); multiple producers keep a fast
@@ -323,7 +330,27 @@ class EvalLoader:
                 batch, gt, pack = collate(
                     samples, cfg_b, training=False, n_shards=self.n_shards
                 )
-                if self.n_shards == 1 and pack is not None:
+                if self.wire:
+                    # Single-buffer transport (data/wire.py): the consumer
+                    # ships ONE array per group and the jitted step unpacks
+                    # on device. vox_src is dead in the eval trace — ship a
+                    # 0-size placeholder (make_eval_step_wire rebuilds it).
+                    from .wire import pack_wire, spec_for
+
+                    tree = (
+                        batch._replace(vox_src=np.zeros((0,), np.float32)),
+                        pack,
+                    )
+                    key = (cfg_b.max_points, cfg_b.max_superpoints)
+                    with self._lock:
+                        spec = self._wire_specs.get(key)
+                    if spec is None:
+                        spec = spec_for(tree)
+                        with self._lock:
+                            self._wire_specs[key] = spec
+                    buf, _ = pack_wire(tree, spec)
+                    batch, pack = None, (buf, spec)
+                elif self.n_shards == 1 and pack is not None:
                     pack = _tree_map(lambda x: x[None], pack)
                 n_real = min(self.batch_size, n - lo)
                 self._q.put((g, (samples, batch, gt, pack, n_real, cfg_b)))

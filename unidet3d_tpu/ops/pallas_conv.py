@@ -97,6 +97,24 @@ def n_subgroups(block: int) -> int:
     return max(sub // 2, 1)
 
 
+def pack_soff_words(flat: jnp.ndarray) -> jnp.ndarray:
+    """Pack the flat int32 sub_offs table into int16 PAIRS per int32 word
+    (index i lives in word i//2, half i%2; odd tails pad with the -1
+    sentinel). The table is a scalar-prefetch operand, and Mosaic
+    double-buffers it in SMEM: at production caps (bs8 x 163840 voxels)
+    the unpacked form alone is 2x552 KB > the 1 MiB SMEM budget — the
+    packed form fits with room for bases/active. Values are window
+    offsets (< 1536, pre-divided by pack) or small negative sentinels, so
+    int16 always holds them; kernels unpack with two arithmetic shifts."""
+    n = flat.shape[0]
+    if n % 2:
+        flat = jnp.concatenate(
+            [flat, jnp.full((1,), -1, flat.dtype)]
+        )
+    pairs = flat.reshape(-1, 2).astype(jnp.int32)
+    return (pairs[:, 0] & 0xFFFF) | (pairs[:, 1] << 16)
+
+
 def offset_windows(window, k: int) -> np.ndarray:
     """Per-OFFSET window widths from per-GROUP ones: offset o reads its
     group's shared window (group = o // GRP, i.e. the dx slab)."""
@@ -278,8 +296,18 @@ def _make_kernel(n_off: int, wp: tuple, wsp: tuple, n_sub: int,
             out_ref[0] = jnp.zeros_like(out_ref[0])
 
         def soff(o, sg, b=None):
+            # sub_offs arrives as int16 pairs packed in int32 words
+            # (pack_soff_words — halves the SMEM footprint); unpack with
+            # arithmetic shifts. Static indices pick their half at trace
+            # time; traced ones (pipelined b) select.
             b = kb if b is None else b
-            return sub_offs_ref[(b * n_sub + sg) * n_off + o]
+            idx = (b * n_sub + sg) * n_off + o
+            word = sub_offs_ref[idx // 2]
+            lo = (word << 16) >> 16
+            hi = word >> 16
+            if isinstance(idx, int):
+                return hi if idx % 2 else lo
+            return jnp.where(idx % 2 == 1, hi, lo)
 
         def group_active(g, b=None):
             # Negative sub_offs = empty-subgroup sentinel; a group whose
@@ -589,7 +617,7 @@ def subm_conv_pallas(
     )(
         # Flat SMEM tables (see kernel note), pre-divided into packed rows.
         rulebook_bases.reshape(-1) // pack,
-        sub_offs.reshape(-1) // pack,
+        pack_soff_words(sub_offs.reshape(-1) // pack),
         active,
         *[rel_tiled[o] for o in range(k)],
         feat_view,
@@ -662,8 +690,15 @@ def _make_dw_burst_kernel(n_off: int, wp: tuple, wsp: tuple,
             dw_ref[...] = jnp.zeros_like(dw_ref)
 
         def soff(o, sg, b=None):
+            # int16-pair packed words (pack_soff_words), see fwd kernel.
             b = kb if b is None else b
-            return sub_offs_ref[(b * n_sub + sg) * n_off + o]
+            idx = (b * n_sub + sg) * n_off + o
+            word = sub_offs_ref[idx // 2]
+            lo = (word << 16) >> 16
+            hi = word >> 16
+            if isinstance(idx, int):
+                return hi if idx % 2 else lo
+            return jnp.where(idx % 2 == 1, hi, lo)
 
         def group_active(g, b=None):
             acc = soff(g * GRP, 0, b) >= 0
@@ -910,7 +945,7 @@ def subm_conv_dw_pallas(
     )(
         # Flat SMEM tables, pre-divided into packed rows (see fwd).
         rulebook_bases.reshape(-1) // pack,
-        sub_offs.reshape(-1) // pack,
+        pack_soff_words(sub_offs.reshape(-1) // pack),
         active,
         *[rel_tiled[o] for o in range(k)],
         g_tiled,

@@ -160,3 +160,31 @@ def make_eval_step(model, cfg: ModelConfig, mesh: Mesh | None = None):
         check_vma=False,
     )
     return jax.jit(mapped)
+
+
+def make_eval_step_wire(model, cfg: ModelConfig, spec):
+    """Single-device eval step over a WIRE-PACKED group (data/wire.py):
+    (params, batch_stats, uint8 buffer) ->
+        (cls_logits, boxes, query_valid, points, point_valid, sp_ids).
+
+    One host->device transfer per group instead of ~60 (the relay pays a
+    ~45 ms fixed cost per fresh array — see data/wire.py). The trailing
+    outputs are the device-resident batch fields the batched post-process
+    consumes (models/postprocess.py predict_batch), so nothing else ever
+    crosses the wire. `spec` is the bucket's static layout for the
+    (batch-with-empty-vox_src, flat pack) pair: vox_src is dead in the eval
+    trace (XLA prunes it) but must TRACE with the right shape, so the wire
+    ships a 0-size placeholder and it is rebuilt from points here."""
+    from ..data.wire import unpack_wire
+
+    def fwd(params, batch_stats, buf):
+        batch, pack = unpack_wire(buf, spec)
+        batch = batch._replace(vox_src=batch.points / cfg.voxel_size)
+        out, aux = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch, False,
+            pack,
+        )
+        return (out.cls_logits[-1], out.boxes[-1], aux.query_valid,
+                batch.points, batch.valid, batch.sp_ids)
+
+    return jax.jit(fwd)

@@ -263,9 +263,13 @@ def evaluate(exp: ExperimentConfig, state, model=None, table=None,
     # One compiled eval step per capacity BUCKET actually encountered
     # (EvalLoader pads each scene group to the smallest covering bucket —
     # parameters are capacity-independent, so the same state serves all).
+    # Single-device eval uses the WIRE transport: the whole group crosses
+    # host->device as ONE buffer (data/wire.py — the per-array transfer
+    # fixed cost otherwise dominates sustained throughput).
+    use_wire = n_dev == 1
     _steps = {}
 
-    def fwd_for(cfg_b):
+    def fwd_for(cfg_b, spec=None):
         key = (cfg_b.max_points, cfg_b.max_superpoints)
         if key not in _steps:
             model_b = (
@@ -273,7 +277,12 @@ def evaluate(exp: ExperimentConfig, state, model=None, table=None,
                 if cfg_b is cfg
                 else UniDet3DTPU(cfg=cfg_b, table=model.table)
             )
-            _steps[key] = make_eval_step(model_b, cfg_b, mesh)
+            if use_wire:
+                from ..parallel.train_step import make_eval_step_wire
+
+                _steps[key] = make_eval_step_wire(model_b, cfg_b, spec)
+            else:
+                _steps[key] = make_eval_step(model_b, cfg_b, mesh)
         return _steps[key]
 
     n_scenes = 0
@@ -283,26 +292,35 @@ def evaluate(exp: ExperimentConfig, state, model=None, table=None,
         loader = EvalLoader(
             ds, cfg, eval_bs, n_shards=n_dev,
             shard_idx=jax.process_index(), shard_count=n_proc,
+            wire=use_wire,
         )
         scene_base = 0
         for samples, batch_np, gt_np, pack_np, n_real, cfg_b in loader:
-            # vox_src is DEAD in the eval trace (inference keeps raw point
-            # coordinates — models/detector.py geometry frames) and jit
-            # prunes unused args, so leaving it as numpy skips its wire
-            # transfer entirely; everything else is staged once and shared
-            # by the forward and postprocess dispatches. The pallas path's
-            # pack already ships without neighbor tables (fused builder).
-            batch = batch_np._replace(**{
-                k: jnp.asarray(v)
-                for k, v in batch_np._asdict().items() if k != "vox_src"
-            })
-            pack = jax.tree_util.tree_map(jnp.asarray, pack_np)
-            cls_logits, boxes, qvalid = fwd_for(cfg_b)(
-                state.params, state.batch_stats, batch, pack
-            )
+            if use_wire:
+                buf, spec = pack_np
+                (cls_logits, boxes, qvalid, pts_dev, pvalid_dev,
+                 spids_dev) = fwd_for(cfg_b, spec)(
+                    state.params, state.batch_stats, jnp.asarray(buf)
+                )
+            else:
+                # Multi-device path: per-leaf staging. vox_src is DEAD in
+                # the eval trace (inference keeps raw point coordinates —
+                # models/detector.py geometry frames) and jit prunes unused
+                # args, so leaving it as numpy skips its transfer.
+                batch = batch_np._replace(**{
+                    k: jnp.asarray(v)
+                    for k, v in batch_np._asdict().items() if k != "vox_src"
+                })
+                pack = jax.tree_util.tree_map(jnp.asarray, pack_np)
+                cls_logits, boxes, qvalid = fwd_for(cfg_b)(
+                    state.params, state.batch_stats, batch, pack
+                )
+                pts_dev, pvalid_dev, spids_dev = (
+                    batch.points, batch.valid, batch.sp_ids
+                )
             det = predict_batch(
                 cfg_b, didx, cls_logits, boxes, qvalid,
-                batch.points, batch.valid, batch.sp_ids,
+                pts_dev, pvalid_dev, spids_dev,
             )
             det = jax.tree_util.tree_map(np.asarray, det)
             for i in range(n_real):
