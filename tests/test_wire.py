@@ -32,7 +32,7 @@ def test_pack_unpack_roundtrip():
                    np.asarray(3, np.int32)),
     }
     buf, spec = pack_wire(tree)
-    assert buf.dtype == np.uint8
+    assert buf.dtype == np.int32  # see pack_wire: compiler-safe bitcasts
     out = jax.jit(lambda b: unpack_wire(b, spec))(jnp.asarray(buf))
     flat_in, td_in = jax.tree_util.tree_flatten(tree)
     flat_out, td_out = jax.tree_util.tree_flatten(out)
@@ -76,7 +76,7 @@ def test_wire_eval_step_matches_per_leaf():
         plain_groups = list(EvalLoader(ds, cfg, batch_size=2, wire=False))
     assert len(wire_groups) == len(plain_groups) == 1
     _, batch_none, _, (buf, spec), n_real, cfg_b = wire_groups[0]
-    assert batch_none is None and buf.dtype == np.uint8
+    assert batch_none is None and buf.dtype == np.int32
     _, batch_np, _, pack_np, _, cfg_b2 = plain_groups[0]
     assert (cfg_b.max_points, cfg_b.max_superpoints) == (
         cfg_b2.max_points, cfg_b2.max_superpoints)

@@ -63,12 +63,20 @@ def spec_for(tree) -> WireSpec:
 
 
 def pack_wire(tree, spec: WireSpec | None = None):
-    """Host side: flatten `tree` into one uint8 buffer. Returns
-    (buffer, spec). Runs on loader/producer threads (pure memcpy)."""
+    """Host side: flatten `tree` into one INT32 buffer (byte layout per
+    `spec`; offsets are byte offsets, always 4-aligned). Returns
+    (buffer, spec). Runs on loader/producer threads (pure memcpy).
+
+    int32 — not uint8 — on purpose: the device-side rebuild then only ever
+    bitcasts SAME-width (i32->f32/i32) or NARROWING (i32->(2,)i16 /
+    (4,)u8), which are layout no-ops. A widening (4,)u8->f32 bitcast over
+    a ~50M-element buffer made the TPU compiler blow memory (SIGKILL in
+    the compile helper)."""
     leaves = jax.tree_util.tree_leaves(tree)
     if spec is None:
         spec = spec_for(tree)
-    buf = np.empty(spec.nbytes, np.uint8)
+    buf = np.zeros(spec.nbytes // 4, np.int32)
+    raw8 = buf.view(np.uint8)
     for leaf, shape, dt, off in zip(leaves, spec.shapes, spec.dtypes,
                                     spec.offsets):
         a = np.asarray(leaf)
@@ -78,25 +86,31 @@ def pack_wire(tree, spec: WireSpec | None = None):
         )
         # reshape(-1) first: 0-d arrays reject dtype-size-changing views.
         raw = np.ascontiguousarray(a).reshape(-1).view(np.uint8)
-        buf[off:off + raw.size] = raw
+        raw8[off:off + raw.size] = raw
     return buf, spec
 
 
 def unpack_wire(buf: jnp.ndarray, spec: WireSpec):
-    """Device side (trace-time): rebuild the tree from the packed buffer
-    with STATIC slices + bitcasts. bool leaves ship as their raw bytes and
-    come back via `!= 0`."""
+    """Device side (trace-time): rebuild the tree from the packed int32
+    buffer with STATIC slices + same-width/narrowing bitcasts. bool leaves
+    ship as their raw bytes and come back via `!= 0`."""
     leaves = []
     for shape, dt, off in zip(spec.shapes, spec.dtypes, spec.offsets):
         dtype = np.dtype(dt)
         n = int(np.prod(shape, dtype=np.int64)) if shape else 1
-        raw = jax.lax.slice(buf, (off,), (off + n * dtype.itemsize,))
+        nbytes = n * dtype.itemsize
+        words = jax.lax.slice(buf, (off // 4,), ((off + _aligned(nbytes))
+                                                 // 4,))
         if dtype == np.bool_:
-            leaf = (raw != 0).reshape(shape)
-        elif dtype.itemsize == 1:
-            leaf = jax.lax.bitcast_convert_type(raw, dtype).reshape(shape)
+            leaf = (
+                jax.lax.bitcast_convert_type(words, jnp.uint8)
+                .reshape(-1)[:n] != 0
+            ).reshape(shape)
         else:
-            grouped = raw.reshape(n, dtype.itemsize)
-            leaf = jax.lax.bitcast_convert_type(grouped, dtype).reshape(shape)
+            # Same-width (4-byte) or narrowing (i32 -> (k,) of 4/itemsize)
+            # bitcast — both layout no-ops, then trim the aligned tail.
+            leaf = jax.lax.bitcast_convert_type(
+                words, dtype
+            ).reshape(-1)[:n].reshape(shape)
         leaves.append(leaf)
     return jax.tree_util.tree_unflatten(spec.treedef, leaves)

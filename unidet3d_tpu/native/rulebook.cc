@@ -11,7 +11,10 @@
 // Build: g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread
 //        rulebook.cc -o libunidet3d_rulebook.so
 #include <algorithm>
+#include <chrono>
 #include <cmath>
+#include <cstdio>
+#include <cstdlib>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -111,6 +114,7 @@ void unidet3d_build_gridpack(
   }
 
   // ---- Per level: neighbors + downsample transition.
+
   static const int d[27][3] = {
       {-1, -1, -1}, {-1, -1, 0}, {-1, -1, 1}, {-1, 0, -1}, {-1, 0, 0},
       {-1, 0, 1},   {-1, 1, -1}, {-1, 1, 0},  {-1, 1, 1},  {0, -1, -1},
@@ -394,6 +398,18 @@ void unidet3d_build_packs_fused(
     int32_t** neighbors, int32_t** bases, int32_t** sub_offs_out,
     int16_t** rel_out, int32_t** active_out, int32_t** miss_rows,
     int32_t** miss_nbrs, int32_t** miss_offs, int64_t* n_miss) {
+  // Phase profiling (UNIDET3D_RULEBOOK_PROFILE=1): stderr wall times; the
+  // fused builder is the input pipeline's dominant host cost, so knowing
+  // which phase to attack matters more than a few ns of timer overhead.
+  const bool prof = std::getenv("UNIDET3D_RULEBOOK_PROFILE") != nullptr;
+  auto tick = std::chrono::steady_clock::now();
+  auto lap = [&](const char* name) {
+    if (!prof) return;
+    auto now = std::chrono::steady_clock::now();
+    fprintf(stderr, "[rulebook] %-16s %7.1f ms\n", name,
+            std::chrono::duration<double, std::milli>(now - tick).count());
+    tick = now;
+  };
   const int64_t n_points = n_scenes * p;
   // ---- Quantize (twin of ops/gridpack.py::quantize_points): per-scene
   // float32 min over valid points, floor, clamp to the 12-bit key fields.
@@ -422,8 +438,10 @@ void unidet3d_build_packs_fused(
       keys[s * p + i] = pack(s, c[0], c[1], c[2]);
     }
   }, /*min_serial=*/1);
+  lap("quantize");
   for (int64_t i = 0; i < n_points; ++i) order[i] = static_cast<int32_t>(i);
   radix_sort_pairs(keys, order);
+  lap("radix_sort");
 
   // ---- Level 0 dedup (same walk as unidet3d_build_gridpack, but over the
   // value-sorted keys).
@@ -452,6 +470,8 @@ void unidet3d_build_packs_fused(
       point_inverse[i] = static_cast<int32_t>(cap0);
     }
   }
+
+  lap("dedup_lvl0");
 
   static const int d[27][3] = {
       {-1, -1, -1}, {-1, -1, 0}, {-1, -1, 1}, {-1, 0, -1}, {-1, 0, 0},
@@ -490,72 +510,98 @@ void unidet3d_build_packs_fused(
     const int32_t kInt32Max = INT32_MAX;
     std::vector<std::vector<int64_t>> block_miss(nb);
 
-    pfor(nb, n_threads, [&](int64_t kb) {
-      // --- Produce this block's 27 neighbor columns into scratch: per
-      // offset a two-pointer merge stream, re-anchored by binary search
-      // (queries qk = k + dk are monotone within the block, so the stream
-      // equals np.searchsorted on every row).
+    // Pure-padding blocks (capacities are static worst cases; a typical
+    // group fills 40-70%) produce constant outputs — bulk-fill them and
+    // run the merge+emit loop only over blocks with real rows. rel = -1
+    // is all-ones bytes, so the (27, cap) tails are plain memsets.
+    const int64_t nb_real = std::min<int64_t>((cur_n + block - 1) / block,
+                                              nb);
+    if (nb_real < nb) {
+      pfor(nb - nb_real, n_threads, [&](int64_t i) {
+        const int64_t kb = nb_real + i;
+        ac[kb] = 0;
+        for (int g = 0; g < kNGrp; ++g) bs[kb * kNGrp + g] = 0;
+        for (int64_t sg = 0; sg < n_sub; ++sg)
+          for (int o = 0; o < 27; ++o)
+            so[(kb * n_sub + sg) * 27 + o] = -16;
+      });
+      for (int o = 0; o < 27; ++o)
+        std::memset(rl + o * cap + nb_real * block, 0xFF,
+                    sizeof(int16_t) * (cap - nb_real * block));
+    }
+
+    pfor(nb_real, n_threads, [&](int64_t kb) {
+      // --- Produce this block's 27 neighbor columns into OFFSET-MAJOR
+      // scratch (27, block): per offset one tight two-pointer merge loop
+      // over the rows (anchor by binary search; queries qk = k + dk are
+      // monotone within the block, so the stream equals np.searchsorted
+      // on every row). Offset-major makes both the production write and
+      // the emission read/write contiguous, and per-(offset, subgroup)
+      // mins fall out of the production loop for free — the row-major
+      // form re-read the whole scratch twice just for the mins.
       thread_local std::vector<int32_t> scratch;
+      thread_local std::vector<int32_t> smins;
       scratch.resize(block * 27);
-      int32_t* nb_ptr = scratch.data();
+      smins.assign(27 * n_sub, kInt32Max);
       const int64_t row0 = kb * block;
       const int64_t rows_real = std::clamp<int64_t>(cur_n - row0, 0, block);
-      int64_t jptr[27];
-      int64_t dk[27];
       for (int o = 0; o < 27; ++o) {
-        dk[o] = static_cast<int64_t>(d[o][0]) * (1LL << 24) +
-                static_cast<int64_t>(d[o][1]) * (1LL << 12) +
-                static_cast<int64_t>(d[o][2]);
-        jptr[o] = 0;
-        if (rows_real > 0 && o != 13) {
-          // Anchor: first in-range row's query key (monotone after).
-          jptr[o] = std::lower_bound(kptr, kptr + cur_n, kptr[row0] + dk[o]) -
-                    kptr;
+        int32_t* col = scratch.data() + o * block;
+        int32_t* smn = smins.data() + o * n_sub;
+        if (o == 13) {  // center = self
+          for (int64_t r = 0; r < rows_real; ++r)
+            col[r] = static_cast<int32_t>(row0 + r);
+          for (int64_t sg = 0; sg < n_sub; ++sg)
+            if (sg * sub_rows < rows_real)
+              smn[sg] = static_cast<int32_t>(row0 + sg * sub_rows);
+        } else {
+          const int64_t dk = static_cast<int64_t>(d[o][0]) * (1LL << 24) +
+                             static_cast<int64_t>(d[o][1]) * (1LL << 12) +
+                             static_cast<int64_t>(d[o][2]);
+          int64_t j = 0;
+          if (rows_real > 0)
+            j = std::lower_bound(kptr, kptr + cur_n, kptr[row0] + dk) - kptr;
+          for (int64_t r = 0; r < rows_real; ++r) {
+            const int64_t k = kptr[row0 + r];
+            const int64_t x = (k >> 24) & 4095, y = (k >> 12) & 4095,
+                          z = k & 4095;
+            const int64_t qx = x + d[o][0], qy = y + d[o][1],
+                          qz = z + d[o][2];
+            if (qx < 0 || qx > 4095 || qy < 0 || qy > 4095 || qz < 0 ||
+                qz > 4095) {
+              col[r] = static_cast<int32_t>(cap);
+              continue;
+            }
+            const int64_t qk = k + dk;
+            while (j < cur_n && kptr[j] < qk) ++j;
+            if (j < cur_n && kptr[j] == qk) {
+              col[r] = static_cast<int32_t>(j);
+              int32_t& m = smn[r / sub_rows];
+              if (static_cast<int32_t>(j) < m) m = static_cast<int32_t>(j);
+            } else {
+              col[r] = static_cast<int32_t>(cap);
+            }
+          }
         }
+        for (int64_t r = rows_real; r < block; ++r)
+          col[r] = static_cast<int32_t>(cap);
       }
-      for (int64_t r = 0; r < rows_real; ++r) {
-        const int64_t k = kptr[row0 + r];
-        const int64_t x = (k >> 24) & 4095, y = (k >> 12) & 4095,
-                      z = k & 4095;
-        int32_t* out_row = nb_ptr + r * 27;
+      if (nbr_full && rows_real > 0)  // tests/XLA path only: transpose out
         for (int o = 0; o < 27; ++o) {
-          if (o == 13) {
-            out_row[o] = static_cast<int32_t>(row0 + r);
-            continue;
-          }
-          const int64_t qx = x + d[o][0], qy = y + d[o][1], qz = z + d[o][2];
-          if (qx < 0 || qx > 4095 || qy < 0 || qy > 4095 || qz < 0 ||
-              qz > 4095) {
-            out_row[o] = static_cast<int32_t>(cap);
-            continue;
-          }
-          const int64_t qk = k + dk[o];
-          int64_t j = jptr[o];
-          while (j < cur_n && kptr[j] < qk) ++j;
-          jptr[o] = j;
-          out_row[o] =
-              static_cast<int32_t>((j < cur_n && kptr[j] == qk) ? j : cap);
+          const int32_t* col = scratch.data() + o * block;
+          for (int64_t r = 0; r < rows_real; ++r)
+            nbr_full[(row0 + r) * 27 + o] = col[r];
         }
-      }
-      for (int64_t r = rows_real; r < block; ++r)
-        for (int o = 0; o < 27; ++o)
-          nb_ptr[r * 27 + o] = static_cast<int32_t>(cap);
-      if (nbr_full && rows_real > 0)
-        std::memcpy(nbr_full + row0 * 27, nb_ptr,
-                    sizeof(int32_t) * rows_real * 27);
 
-      // --- Banded emission (same body as unidet3d_build_banded's per-kb
-      // lambda, reading the scratch).
+      // --- Banded emission (same semantics as unidet3d_build_banded's
+      // per-kb lambda): group bases from the per-(offset, subgroup) mins.
       int32_t any_valid = 0;
       int64_t gbase[kNGrp];
       for (int g = 0; g < kNGrp; ++g) {
         int32_t mn = kInt32Max;
-        for (int64_t r = 0; r < block; ++r) {
-          for (int o = g * kGrp; o < (g + 1) * kGrp; ++o) {
-            int32_t idx = nb_ptr[r * 27 + o];
-            if (idx < cap && idx < mn) mn = idx;
-          }
-        }
+        for (int o = g * kGrp; o < (g + 1) * kGrp; ++o)
+          for (int64_t sg = 0; sg < n_sub; ++sg)
+            mn = std::min(mn, smins[o * n_sub + sg]);
         if (mn != kInt32Max) any_valid = 1;
         int64_t base = (mn == kInt32Max) ? 0 : mn;
         base = std::min<int64_t>(base, std::max<int64_t>(cap - 1, 0));
@@ -564,35 +610,31 @@ void unidet3d_build_packs_fused(
         bs[kb * kNGrp + g] = static_cast<int32_t>(base);
       }
       for (int o = 0; o < 27; ++o) {
+        const int32_t* col = scratch.data() + o * block;
         const int64_t base = gbase[o / kGrp];
         const int64_t w = wg[o / kGrp], wsv = ws27[o];
         int64_t lim = std::max<int64_t>(w - wsv, 0);
         lim -= lim % align;
         for (int64_t sg = 0; sg < n_sub; ++sg) {
-          int32_t smn = kInt32Max;
-          for (int64_t r = sg * sub_rows; r < (sg + 1) * sub_rows; ++r) {
-            int32_t idx = nb_ptr[r * 27 + o];
-            if (idx < cap && idx < smn) smn = idx;
-          }
+          const int32_t smn = smins[o * n_sub + sg];
           int64_t soff = ((smn == kInt32Max) ? 0 : smn) - base;
           soff -= ((soff % align) + align) % align;
           soff = std::clamp<int64_t>(soff, 0, lim);
           const int64_t shift = base + soff;
           bool any_in_band = false;
+          int16_t* rl_row = rl + o * cap + kb * block;
           for (int64_t r = sg * sub_rows; r < (sg + 1) * sub_rows; ++r) {
-            const int64_t row = kb * block + r;
-            int32_t idx = nb_ptr[r * 27 + o];
+            int32_t idx = col[r];
             bool val = idx < cap;
             int64_t rv = idx - shift;
             bool in_band = val && rv >= 0 && rv < wsv;
             any_in_band |= in_band;
-            rl[o * cap + row] =
-                in_band ? static_cast<int16_t>(rv) : int16_t(-1);
+            rl_row[r] = in_band ? static_cast<int16_t>(rv) : int16_t(-1);
             if (val && !in_band)
               // (o, row, idx) packed in 5+22+22 bits; sorting by the packed
               // value orders by (o, row) since idx is a function of them.
               block_miss[kb].push_back((static_cast<int64_t>(o) << 44) |
-                                       (row << 22) | idx);
+                                       ((kb * block + r) << 22) | idx);
           }
           so[(kb * n_sub + sg) * 27 + o] =
               any_in_band ? static_cast<int32_t>(soff) : -16;
@@ -600,6 +642,7 @@ void unidet3d_build_packs_fused(
       }
       ac[kb] = any_valid;
     }, /*min_serial=*/1);
+    lap("blocks(merge+emit)");
 
     // Misses ordered by (offset, row), matching np.nonzero on the (K, V)
     // miss table; neighbor values ride in the packed entries.
@@ -624,6 +667,7 @@ void unidet3d_build_packs_fused(
       mo[m] = static_cast<int32_t>(all[m] >> 44);
     });
 
+    lap("miss_compact");
     if (lvl == n_levels - 1) break;
 
     // Downsample transition (same as unidet3d_build_gridpack).
@@ -655,6 +699,7 @@ void unidet3d_build_packs_fused(
     });
     uniq.resize(nn);
     lvl_keys = std::move(uniq);
+    lap("downsample");
   }
 }
 
