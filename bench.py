@@ -95,8 +95,15 @@ def _useful_forward_flops(cfg, pack_np, batch=1, n_sp=None):
             # banded form instead — in-band entries (rel >= 0) plus kept
             # compact-correction misses (rows below the 1<<30 pad).
             rel = np.asarray(pack_np.banded.rel[lvl])
+            if rel.dtype == np.int32:  # 9-bit packed wire form
+                in_band = sum(
+                    int((((rel >> (9 * i)) & 511) != 0).sum())
+                    for i in range(3)
+                )
+            else:
+                in_band = int((rel >= 0).sum())
             mrows = np.asarray(pack_np.banded.miss_rows[lvl])
-            pairs.append(int((rel >= 0).sum()) + int((mrows < (1 << 30)).sum()))
+            pairs.append(in_band + int((mrows < (1 << 30)).sum()))
         else:
             cap = nbr.shape[0]
             pairs.append(int((nbr < cap).sum()))
@@ -229,10 +236,24 @@ def _bucket_for(cfg, n_points_group):
 def _wire_group(batch_np, pack_np, spec=None):
     """(buffer, spec) for one group — the production single-device eval
     transport (data/wire.py, loader wire=True): vox_src ships as a 0-size
-    placeholder (dead in the eval trace)."""
+    placeholder (dead in the eval trace), features as colors + per-scene
+    mean (xyz rebuilt on device), rel 9-bit packed by the builder."""
     from unidet3d_tpu.data.wire import pack_wire, spec_for
 
-    tree = (batch_np._replace(vox_src=np.zeros((0,), np.float32)), pack_np)
+    b = batch_np.points.shape[0]
+    mean = np.zeros((b, 1, 3), np.float32)
+    for i in range(b):
+        nv = int(batch_np.valid[i].sum())
+        if nv:
+            mean[i, 0] = batch_np.points[i, :nv].mean(0)
+    tree = (
+        batch_np._replace(
+            vox_src=np.zeros((0,), np.float32),
+            features=batch_np.features[..., :3],
+        ),
+        pack_np,
+        mean,
+    )
     if spec is None:
         spec = spec_for(tree)
     buf, _ = pack_wire(tree, spec)
@@ -267,7 +288,8 @@ def _bench_batched_eval(cfg, variables, batch_size=4, n_scenes=24):
         key = (cfg_b.max_points, cfg_b.max_superpoints)
         t0 = time.perf_counter()
         packs_np = build_packs(
-            batch_np.vox_src, batch_np.valid, cfg_b, n_shards=1
+            batch_np.vox_src, batch_np.valid, cfg_b, n_shards=1,
+            pack_rel=True,
         )
         buf, spec = _wire_group(batch_np, packs_np,
                                 steps[key][1] if key in steps else None)
@@ -337,7 +359,8 @@ def _bench_sustained(variables, group_cache, extra):
                 break
             step, batch_np, cfg_b, n, spec = group_cache[g]
             packs_np = build_packs(
-                batch_np.vox_src, batch_np.valid, cfg_b, n_shards=1
+                batch_np.vox_src, batch_np.valid, cfg_b, n_shards=1,
+                pack_rel=True,
             )
             wire_buf, _ = _wire_group(batch_np, packs_np, spec)
             q.put((g, (step, wire_buf, n)))

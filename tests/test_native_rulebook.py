@@ -195,3 +195,44 @@ def test_fused_pack_matches_two_phase():
         np.testing.assert_array_equal(
             fused.offset_code[t][v], ref_pack.offset_code[t][v], f"off T{t}"
         )
+
+
+@pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+def test_fused_pack_rel_9bit_roundtrip():
+    """pack_rel=True emits rel as 9-bit-packed int32 words (3 per word,
+    block-padded, e = rel + 1); decoding must reproduce the int16 planes
+    of a plain build exactly."""
+    from unidet3d_tpu.core.config import default_config
+    from unidet3d_tpu.ops.gridpack import build_fused_pack_host
+
+    cfg = default_config(
+        max_points=4096, voxel_capacity=4096, subm_impl="pallas",
+        conv_miss_cap=(512, 256, 128, 64, 64),
+    )
+    rng = np.random.RandomState(3)
+    b, p = 2, 2500
+    vox_src = rng.rand(b, p, 3).astype(np.float32) * 55.0 - 3.0
+    valid = np.arange(p)[None, :] < np.array([p, p - 77])[:, None]
+
+    plain, _ = build_fused_pack_host(vox_src, valid, cfg, num_threads=2)
+    packed, _ = build_fused_pack_host(vox_src, valid, cfg, num_threads=2,
+                                      pack_rel=True)
+    caps = list(cfg.level_capacities(b))
+    for lvl, cap in enumerate(caps):
+        ref = np.asarray(plain.banded.rel[lvl]).astype(np.int32)  # (27, cap)
+        pk = np.asarray(packed.banded.rel[lvl])
+        assert pk.dtype == np.int32
+        block = min(512, cap)
+        nb = cap // block
+        wpb = (block + 2) // 3
+        assert pk.shape == (27, nb * wpb), (pk.shape, lvl)
+        w = pk.reshape(27, nb, wpb, 1)
+        lanes = (w >> np.array([0, 9, 18])) & 511
+        dec = lanes.reshape(27, nb, wpb * 3)[:, :, :block].reshape(27, cap) - 1
+        np.testing.assert_array_equal(dec, ref, f"rel L{lvl}")
+        # Everything else identical between the two modes.
+        for name in ("bases", "sub_offs", "active", "miss_rows"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(packed.banded, name)[lvl]),
+                np.asarray(getattr(plain.banded, name)[lvl]), f"{name} L{lvl}",
+            )

@@ -104,3 +104,32 @@ def test_wire_eval_step_matches_per_leaf():
     np.testing.assert_array_equal(np.asarray(out[3]), batch_np.points)
     np.testing.assert_array_equal(np.asarray(out[4]), batch_np.valid)
     np.testing.assert_array_equal(np.asarray(out[5]), batch_np.sp_ids)
+
+
+def test_decode_rel_plane_matches_builder():
+    """Device-side 9-bit rel decode == the builder's plain int16 planes."""
+    from unidet3d_tpu.core.config import default_config
+    from unidet3d_tpu.native import rulebook as native
+    from unidet3d_tpu.ops.gridpack import build_fused_pack_host
+    from unidet3d_tpu.parallel.train_step import _decode_rel_plane
+
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    cfg = default_config(
+        max_points=4096, voxel_capacity=4096, subm_impl="pallas",
+        conv_miss_cap=(512, 256, 128, 64, 64),
+    )
+    rng = np.random.RandomState(11)
+    vox_src = rng.rand(1, 3000, 3).astype(np.float32) * 50.0
+    valid = np.ones((1, 3000), bool)
+    plain, _ = build_fused_pack_host(vox_src, valid, cfg, num_threads=1)
+    packed, _ = build_fused_pack_host(vox_src, valid, cfg, num_threads=1,
+                                      pack_rel=True)
+    for lvl, cap in enumerate(cfg.level_capacities(1)):
+        dec = jax.jit(_decode_rel_plane, static_argnums=1)(
+            jnp.asarray(packed.banded.rel[lvl]), int(cap)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec),
+            np.asarray(plain.banded.rel[lvl]).astype(np.int32), f"L{lvl}",
+        )

@@ -30,6 +30,7 @@ def collate(
     build_rulebooks: bool = True,
     rng: np.random.RandomState | None = None,
     n_shards: int = 1,
+    pack_rel: bool = False,
 ) -> Tuple[PointBatch, GTBatch, object]:
     """Returns (PointBatch, GTBatch, GridPack-or-None) as numpy pytrees.
 
@@ -122,12 +123,13 @@ def collate(
 
     pack = None
     if build_rulebooks:
-        pack = build_packs(vox_src, valid, cfg, n_shards)
+        pack = build_packs(vox_src, valid, cfg, n_shards, pack_rel=pack_rel)
     return batch, gt, pack
 
 
 def _build_one_pack(vox_src, valid, cfg: ModelConfig,
-                    num_threads: int | None = None):
+                    num_threads: int | None = None,
+                    pack_rel: bool = False):
     """GridPack (+ BandedPack when subm_impl='pallas') for one scene group."""
     b = vox_src.shape[0]
     caps = list(cfg.level_capacities(b))
@@ -139,7 +141,8 @@ def _build_one_pack(vox_src, valid, cfg: ModelConfig,
         # skips their host build + wire cost).
         from ..ops.gridpack import build_fused_pack_host
 
-        fused = build_fused_pack_host(vox_src, valid, cfg, num_threads)
+        fused = build_fused_pack_host(vox_src, valid, cfg, num_threads,
+                                      pack_rel=pack_rel)
         if fused is not None:
             pack, _ = fused
     if pack is None:
@@ -178,7 +181,7 @@ def _build_one_pack(vox_src, valid, cfg: ModelConfig,
 
 
 def build_packs(vox_src, valid, cfg: ModelConfig, n_shards: int = 1,
-                num_threads: int | None = None):
+                num_threads: int | None = None, pack_rel: bool = False):
     """Host rulebooks for a (B, P, ...) batch.
 
     n_shards == 1: a flat GridPack over the whole batch (single-device /
@@ -192,10 +195,15 @@ def build_packs(vox_src, valid, cfg: ModelConfig, n_shards: int = 1,
     `num_threads` (None = all cores, capped at 16) spreads BOTH the native
     builders' internal pfor and, for n_shards > 1, the per-shard-group
     builds across a thread pool (the C++ releases the GIL).
+
+    `pack_rel` (single-shard only): banded rel planes come back 9-bit
+    packed in int32 words — the wire transport form (native/rulebook.py
+    build_packs_fused), decoded on device by make_eval_step_wire. Ignored
+    by the two-phase fallback (rel stays int16; consumers key on dtype).
     """
     b = vox_src.shape[0]
     if n_shards == 1:
-        return _build_one_pack(vox_src, valid, cfg, num_threads)
+        return _build_one_pack(vox_src, valid, cfg, num_threads, pack_rel)
     assert b % n_shards == 0, (b, n_shards)
     bl = b // n_shards
 

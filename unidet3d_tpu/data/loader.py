@@ -328,18 +328,35 @@ class EvalLoader:
                 samples = [self.dataset[i] for i in idxs]
                 cfg_b = self._bucket_cfg(samples)
                 batch, gt, pack = collate(
-                    samples, cfg_b, training=False, n_shards=self.n_shards
+                    samples, cfg_b, training=False, n_shards=self.n_shards,
+                    pack_rel=self.wire,
                 )
                 if self.wire:
                     # Single-buffer transport (data/wire.py): the consumer
                     # ships ONE array per group and the jitted step unpacks
-                    # on device. vox_src is dead in the eval trace — ship a
-                    # 0-size placeholder (make_eval_step_wire rebuilds it).
+                    # on device (make_eval_step_wire). Wire-size trims,
+                    # all bit-exactly reversible on device:
+                    #  * vox_src is dead in the eval trace — 0-size stub;
+                    #  * features ship as COLORS only + the per-scene mean
+                    #    (xyz - mean is rebuilt on device; the mean here is
+                    #    the same numpy reduction collate used, so the f32
+                    #    subtraction reproduces the host values exactly);
+                    #  * banded rel planes arrive 9-bit packed (pack_rel).
                     from .wire import pack_wire, spec_for
 
+                    b = batch.points.shape[0]
+                    mean = np.zeros((b, 1, 3), np.float32)
+                    for i in range(b):
+                        nv = int(batch.valid[i].sum())
+                        if nv:
+                            mean[i, 0] = batch.points[i, :nv].mean(0)
                     tree = (
-                        batch._replace(vox_src=np.zeros((0,), np.float32)),
+                        batch._replace(
+                            vox_src=np.zeros((0,), np.float32),
+                            features=batch.features[..., :3],
+                        ),
                         pack,
+                        mean,
                     )
                     key = (cfg_b.max_points, cfg_b.max_superpoints)
                     with self._lock:

@@ -387,14 +387,20 @@ extern "C" {
 //   blocks/n_subs/aligns/miss_caps: (L,) int64; windows (L, 3); wsubs (L, 27)
 //   miss_caps = TRANSPORT lengths (two tiers concatenated, python reshapes)
 //   want_neighbors != 0: also fill neighbors[l] (cap_l, 27) int32
+//   pack_rel != 0: rel_out[l] is reinterpreted as an int32 buffer of shape
+//     (27, nb * ceil(block/3)) holding 9-BIT PACKED entries e = rel + 1
+//     (3 per word, lane i at bits [9i, 9i+9); e = 0 <=> rel = -1, so
+//     zero-initialised padding IS the sentinel). Block-padded so threads
+//     never share a word. Shrinks the wire form 16 -> ~10.7 bits/entry —
+//     rel is the largest transport leaf (data/wire.py).
 //   n_miss: (L,) int64 out — total misses per level BEFORE truncation.
 void unidet3d_build_packs_fused(
     const float* vox_src, const uint8_t* valid, int64_t n_scenes, int64_t p,
     const int64_t* capacities, int32_t n_levels, int32_t n_threads,
     const int64_t* blocks, const int64_t* windows, const int64_t* wsubs,
     const int64_t* n_subs, const int64_t* miss_caps, const int64_t* aligns,
-    int32_t want_neighbors, int32_t* point_inverse, float* counts0,
-    uint8_t** valids, int32_t** parents, int32_t** offsets,
+    int32_t want_neighbors, int32_t pack_rel, int32_t* point_inverse,
+    float* counts0, uint8_t** valids, int32_t** parents, int32_t** offsets,
     int32_t** neighbors, int32_t** bases, int32_t** sub_offs_out,
     int16_t** rel_out, int32_t** active_out, int32_t** miss_rows,
     int32_t** miss_nbrs, int32_t** miss_offs, int64_t* n_miss) {
@@ -498,6 +504,8 @@ void unidet3d_build_packs_fused(
     int32_t* bs = bases[lvl];
     int32_t* so = sub_offs_out[lvl];
     int16_t* rl = rel_out[lvl];
+    int32_t* rl32 = reinterpret_cast<int32_t*>(rel_out[lvl]);
+    const int64_t wpb = (block + 2) / 3;  // packed words per block
     int32_t* ac = active_out[lvl];
     int32_t* nbr_full = want_neighbors ? neighbors[lvl] : nullptr;
     if (nbr_full) {
@@ -525,9 +533,12 @@ void unidet3d_build_packs_fused(
           for (int o = 0; o < 27; ++o)
             so[(kb * n_sub + sg) * 27 + o] = -16;
       });
-      for (int o = 0; o < 27; ++o)
-        std::memset(rl + o * cap + nb_real * block, 0xFF,
-                    sizeof(int16_t) * (cap - nb_real * block));
+      if (!pack_rel)
+        for (int o = 0; o < 27; ++o)
+          std::memset(rl + o * cap + nb_real * block, 0xFF,
+                      sizeof(int16_t) * (cap - nb_real * block));
+      // pack_rel: the caller zero-initialises the packed buffer and the
+      // zero word decodes to rel = -1 everywhere — nothing to do.
     }
 
     pfor(nb_real, n_threads, [&](int64_t kb) {
@@ -623,13 +634,19 @@ void unidet3d_build_packs_fused(
           const int64_t shift = base + soff;
           bool any_in_band = false;
           int16_t* rl_row = rl + o * cap + kb * block;
+          int32_t* rlw = rl32 + o * (nb * wpb) + kb * wpb;
           for (int64_t r = sg * sub_rows; r < (sg + 1) * sub_rows; ++r) {
             int32_t idx = col[r];
             bool val = idx < cap;
             int64_t rv = idx - shift;
             bool in_band = val && rv >= 0 && rv < wsv;
             any_in_band |= in_band;
-            rl_row[r] = in_band ? static_cast<int16_t>(rv) : int16_t(-1);
+            if (pack_rel) {
+              if (in_band)  // e = rv + 1; zero word already means -1
+                rlw[r / 3] |= static_cast<int32_t>(rv + 1) << (9 * (r % 3));
+            } else {
+              rl_row[r] = in_band ? static_cast<int16_t>(rv) : int16_t(-1);
+            }
             if (val && !in_band)
               // (o, row, idx) packed in 5+22+22 bits; sorting by the packed
               // value orders by (o, row) since idx is a function of them.

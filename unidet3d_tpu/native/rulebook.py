@@ -137,12 +137,20 @@ def build_packs_fused(
     aligns: Sequence[int],
     want_neighbors: bool = False,
     n_threads: int | None = None,
+    pack_rel: bool = False,
 ):
     """ONE-CALL fused pack build: quantize + gridpack + per-level banded
     rulebooks, skipping the (V, 27) neighbor tables unless asked (they are
     dead weight on the pallas path — see rulebook.cc). Bit-exact with
     quantize_points -> build_gridpack -> per-level build_banded, except rel
     is emitted int16 (the wire dtype; values in [-1, wsub)).
+
+    `pack_rel`: emit rel 9-BIT PACKED — int32 arrays of shape
+    (27, nb * ceil(block/3)) per level, entry e = rel + 1 (3 per word,
+    lane i at bits [9i, 9i+9); 0 = the rel = -1 sentinel, block-padded) —
+    the wire transport form (data/wire.py; decoded on device by
+    parallel/train_step.make_eval_step_wire). rel stays the (27, cap)
+    int16 plane otherwise.
 
     Returns (GridPack with .banded set (neighbors = (0, 27) placeholders
     unless want_neighbors), counts0, n_miss_totals (L,))."""
@@ -181,7 +189,12 @@ def build_packs_fused(
              for c, bl in zip(capacities, blocks_a)]
     sub_offs = [np.empty((c // bl, ns, 27), np.int32)
                 for c, bl, ns in zip(capacities, blocks_a, n_subs_a)]
-    rel = [np.empty((27, c), np.int16) for c in capacities]
+    if pack_rel:
+        # Zero-initialised: the zero word IS the rel = -1 sentinel.
+        rel = [np.zeros((27, (c // bl) * ((bl + 2) // 3)), np.int32)
+               for c, bl in zip(capacities, blocks_a)]
+    else:
+        rel = [np.empty((27, c), np.int16) for c in capacities]
     active = [np.empty(c // bl, np.int32)
               for c, bl in zip(capacities, blocks_a)]
     miss_rows = [np.empty(m, np.int32) for m in mcaps]
@@ -205,6 +218,7 @@ def build_packs_fused(
         p64(blocks_a), p64(windows_a), p64(wsubs_a), p64(n_subs_a),
         p64(mcaps), p64(aligns_a),
         ctypes.c_int32(1 if want_neighbors else 0),
+        ctypes.c_int32(1 if pack_rel else 0),
         point_inverse.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         counts0.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ptr_array(valids, ctypes.c_uint8),

@@ -241,6 +241,7 @@ def build_fused_pack_host(
     cfg,
     num_threads: int | None = None,
     want_neighbors: bool = False,
+    pack_rel: bool = False,
 ):
     """Fused native pack build for the pallas conv path: quantize +
     gridpack + banded rulebooks in one C++ call that never materialises
@@ -286,6 +287,7 @@ def build_fused_pack_host(
         aligns=list(cfg.level_pack_align()),
         want_neighbors=want_neighbors,
         n_threads=num_threads,
+        pack_rel=pack_rel,
     )
     for total, mcap in zip(n_miss, miss_caps):
         warn_miss_overflow(total, mcap)

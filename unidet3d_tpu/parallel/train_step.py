@@ -162,24 +162,59 @@ def make_eval_step(model, cfg: ModelConfig, mesh: Mesh | None = None):
     return jax.jit(mapped)
 
 
+def _decode_rel_plane(packed: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Inverse of the builder's 9-bit rel packing (native/rulebook.py
+    build_packs_fused pack_rel): (27, nb*ceil(block/3)) int32 words, lane i
+    at bits [9i, 9i+9) holding e = rel + 1 (0 = the -1 sentinel,
+    block-padded) -> the (27, cap) int32 rel plane. Pure elementwise
+    shifts + a reshape — one cheap fused pass."""
+    block = min(512, cap)
+    nb = cap // block
+    wpb = (block + 2) // 3
+    w = packed.reshape(27, nb, wpb, 1)
+    shifts = jnp.array([0, 9, 18], jnp.int32)
+    e = (w >> shifts) & 511  # (27, nb, wpb, 3)
+    return (e.reshape(27, nb, wpb * 3)[:, :, :block]
+            .reshape(27, cap) - 1)
+
+
 def make_eval_step_wire(model, cfg: ModelConfig, spec):
     """Single-device eval step over a WIRE-PACKED group (data/wire.py):
-    (params, batch_stats, uint8 buffer) ->
+    (params, batch_stats, int32 buffer) ->
         (cls_logits, boxes, query_valid, points, point_valid, sp_ids).
 
     One host->device transfer per group instead of ~60 (the relay pays a
     ~45 ms fixed cost per fresh array — see data/wire.py). The trailing
     outputs are the device-resident batch fields the batched post-process
     consumes (models/postprocess.py predict_batch), so nothing else ever
-    crosses the wire. `spec` is the bucket's static layout for the
-    (batch-with-empty-vox_src, flat pack) pair: vox_src is dead in the eval
-    trace (XLA prunes it) but must TRACE with the right shape, so the wire
-    ships a 0-size placeholder and it is rebuilt from points here."""
+    crosses the wire. `spec` is the bucket's static layout for the wire
+    tree (batch-with-colors-only, flat pack, per-scene mean) built by
+    EvalLoader wire=True; this step reverses its size trims bit-exactly:
+      * vox_src (dead in the eval trace, but must TRACE with the right
+        shape) is rebuilt from points;
+      * features = [colors, where(valid, points - mean, 0)] — the same
+        f32 arithmetic collate used on the host;
+      * 9-bit packed rel planes decode via _decode_rel_plane (int16 rel
+        from the two-phase fallback passes through untouched)."""
     from ..data.wire import unpack_wire
 
     def fwd(params, batch_stats, buf):
-        batch, pack = unpack_wire(buf, spec)
-        batch = batch._replace(vox_src=batch.points / cfg.voxel_size)
+        batch, pack, mean = unpack_wire(buf, spec)
+        banded = pack.banded
+        if banded is not None and banded.rel and \
+                banded.rel[0].dtype == jnp.int32:
+            rel = tuple(
+                _decode_rel_plane(p, v.shape[0])
+                for p, v in zip(banded.rel, pack.valid)
+            )
+            pack = pack._replace(banded=banded._replace(rel=rel))
+        xyz = jnp.where(
+            batch.valid[..., None], batch.points - mean, 0.0
+        )
+        batch = batch._replace(
+            vox_src=batch.points / cfg.voxel_size,
+            features=jnp.concatenate([batch.features, xyz], axis=-1),
+        )
         out, aux = model.apply(
             {"params": params, "batch_stats": batch_stats}, batch, False,
             pack,
