@@ -330,12 +330,15 @@ def _bench_batched_eval(cfg, variables, batch_size=4, n_scenes=24):
 
 def _bench_sustained(variables, group_cache, extra):
     """SUSTAINED host+device throughput: one wall clock over the whole mix
-    with host pack building pipelined on a prefetch thread against device
+    with host pack building pipelined on prefetch threads against device
     execution — the number a deployment actually sees, including any host
     boundedness the device-only metric hides (VERDICT r3 weak #2). Inputs
     (synthetic scene generation) are pre-staged; pack building + device
     transfer + execution are inside the clock, exactly like production
-    (EvalLoader builds packs on loader threads)."""
+    (EvalLoader builds packs AND initiates the device transfer on loader
+    threads; the consumer dispatches eagerly and syncs with a lag of 2 —
+    round 5: the round-4 loop's per-group asarray+sync serialized the
+    relay transfer against device compute, capping sustained at 2.9/s)."""
     import queue
     import threading
 
@@ -363,7 +366,9 @@ def _bench_sustained(variables, group_cache, extra):
                 pack_rel=True,
             )
             wire_buf, _ = _wire_group(batch_np, packs_np, spec)
-            q.put((g, (step, wire_buf, n)))
+            # Transfer starts HERE, overlapped with the next group's pack
+            # build and with device compute (PJRT H2D is async).
+            q.put((g, (step, jax.device_put(wire_buf), n)))
         q.put(None)
 
     threads = [threading.Thread(target=producer, daemon=True)
@@ -373,6 +378,7 @@ def _bench_sustained(variables, group_cache, extra):
         th.start()
     scenes = 0
     buf, next_out, done = {}, 0, 0
+    inflight = []
     while next_out < len(group_cache):
         while next_out not in buf:
             item = q.get()
@@ -381,12 +387,15 @@ def _bench_sustained(variables, group_cache, extra):
                 continue
             g, payload = item
             buf[g] = payload
-        step, wire_buf, n = buf.pop(next_out)
+        step, dev_buf, n = buf.pop(next_out)
         next_out += 1
-        out = step(variables["params"], variables.get("batch_stats", {}),
-                   jnp.asarray(wire_buf))
-        float(jnp.sum(out[0]))
+        inflight.append(step(variables["params"],
+                             variables.get("batch_stats", {}), dev_buf))
+        if len(inflight) > 2:  # lag-2: keep the device queue fed
+            float(jnp.sum(inflight.pop(0)[0]))
         scenes += n
+    for out in inflight:
+        float(jnp.sum(out[0]))
     dt = time.perf_counter() - t0
     extra["sustained_scenes_per_sec"] = round(scenes / dt, 2)
     extra["sustained_host_threads"] = n_threads

@@ -366,7 +366,15 @@ class EvalLoader:
                         with self._lock:
                             self._wire_specs[key] = spec
                     buf, _ = pack_wire(tree, spec)
-                    batch, pack = None, (buf, spec)
+                    # Start the host->device transfer HERE on the loader
+                    # thread (PJRT device_put is async and thread-safe):
+                    # the consumer then dispatches on a device-resident
+                    # buffer, so the relay's transfer time overlaps both
+                    # the next group's pack build and device compute
+                    # instead of serializing in the eval loop.
+                    import jax as _jax
+
+                    batch, pack = None, (_jax.device_put(buf), spec)
                 elif self.n_shards == 1 and pack is not None:
                     pack = _tree_map(lambda x: x[None], pack)
                 n_real = min(self.batch_size, n - lo)

@@ -287,6 +287,57 @@ def evaluate(exp: ExperimentConfig, state, model=None, table=None,
 
     n_scenes = 0
     t0 = time.time()
+
+    def drain(pending):
+        """Host half of one group: pull det to numpy (the only sync) and
+        feed the metric/visualizers. Runs with a LAG of one group behind
+        the device dispatch so the AP accumulation, .obj dumps and the
+        NEXT group's wire transfer all overlap device compute."""
+        nonlocal show
+        det, samples, n_real, didx, scene_base = pending
+        det = jax.tree_util.tree_map(np.asarray, det)
+        for i in range(n_real):
+            sample = samples[i]
+            gt_boxes = sample["gt_bboxes_3d"]
+            if gt_boxes.shape[1] == 6:
+                gt_boxes = np.concatenate(
+                    [gt_boxes,
+                     np.zeros((len(gt_boxes), 1), np.float32)], 1
+                )
+            metric.process(
+                didx,
+                det.boxes[i], det.labels[i], det.scores[i],
+                det.valid[i],
+                gt_boxes, sample["gt_labels_3d"],
+            )
+            if show_dir or show:
+                keep = np.asarray(det.valid[i], bool)
+                pred = det.boxes[i][keep]
+            if show_dir:
+                from ..viz.show_results import show_result
+
+                name = (f"{cfg.datasets[didx]}_"
+                        f"scene{scene_base + i:05d}")
+                show_result(
+                    show_dir, name,
+                    np.asarray(sample["points"], np.float32),
+                    gt_boxes, pred,
+                )
+            if show:
+                # Interactive per-scene viewer (reference --show,
+                # tools/test.py:124-126). Gated gracefully: without
+                # open3d warn ONCE and keep evaluating.
+                try:
+                    from ..viz.show_results import show_online
+
+                    show_online(
+                        np.asarray(sample["points"], np.float32), pred
+                    )
+                except ImportError as e:
+                    log.warning("--show disabled: %s", e)
+                    show = False
+
+    pending = None
     for ds in build_datasets(exp, "val"):
         didx = ds.dataset_idx
         loader = EvalLoader(
@@ -297,10 +348,12 @@ def evaluate(exp: ExperimentConfig, state, model=None, table=None,
         scene_base = 0
         for samples, batch_np, gt_np, pack_np, n_real, cfg_b in loader:
             if use_wire:
+                # buf is already device-resident: EvalLoader device_puts on
+                # the worker thread so the relay transfer overlaps compute.
                 buf, spec = pack_np
                 (cls_logits, boxes, qvalid, pts_dev, pvalid_dev,
                  spids_dev) = fwd_for(cfg_b, spec)(
-                    state.params, state.batch_stats, jnp.asarray(buf)
+                    state.params, state.batch_stats, buf
                 )
             else:
                 # Multi-device path: per-leaf staging. vox_src is DEAD in
@@ -322,49 +375,13 @@ def evaluate(exp: ExperimentConfig, state, model=None, table=None,
                 cfg_b, didx, cls_logits, boxes, qvalid,
                 pts_dev, pvalid_dev, spids_dev,
             )
-            det = jax.tree_util.tree_map(np.asarray, det)
-            for i in range(n_real):
-                sample = samples[i]
-                gt_boxes = sample["gt_bboxes_3d"]
-                if gt_boxes.shape[1] == 6:
-                    gt_boxes = np.concatenate(
-                        [gt_boxes,
-                         np.zeros((len(gt_boxes), 1), np.float32)], 1
-                    )
-                metric.process(
-                    didx,
-                    det.boxes[i], det.labels[i], det.scores[i],
-                    det.valid[i],
-                    gt_boxes, sample["gt_labels_3d"],
-                )
-                if show_dir or show:
-                    keep = np.asarray(det.valid[i], bool)
-                    pred = det.boxes[i][keep]
-                if show_dir:
-                    from ..viz.show_results import show_result
-
-                    name = (f"{cfg.datasets[didx]}_"
-                            f"scene{scene_base + i:05d}")
-                    show_result(
-                        show_dir, name,
-                        np.asarray(sample["points"], np.float32),
-                        gt_boxes, pred,
-                    )
-                if show:
-                    # Interactive per-scene viewer (reference --show,
-                    # tools/test.py:124-126). Gated gracefully: without
-                    # open3d warn ONCE and keep evaluating.
-                    try:
-                        from ..viz.show_results import show_online
-
-                        show_online(
-                            np.asarray(sample["points"], np.float32), pred
-                        )
-                    except ImportError as e:
-                        log.warning("--show disabled: %s", e)
-                        show = False
+            if pending is not None:
+                drain(pending)
+            pending = (det, samples, n_real, didx, scene_base)
             scene_base += n_real
             n_scenes += n_real
+    if pending is not None:
+        drain(pending)
     dt = max(time.time() - t0, 1e-9)
     log.info("eval: %d scenes in %.1f s (%.2f scenes/s)",
              n_scenes, dt, n_scenes / dt)
